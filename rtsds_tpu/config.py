@@ -1,0 +1,278 @@
+"""Config system: YAML -> typed, attribute-accessible config tree.
+
+Capability parity with the reference loader (``main.py:272-282``), which turns
+the YAML mapping into a namedtuple whose section values stay raw dicts (the
+code then mixes ``config.data.get('cityscapes')`` and
+``config.model['bisenet']`` access).  Here every mapping becomes a
+:class:`ConfigNode` supporting attribute access, item access, ``.get`` and
+``.keys`` uniformly, plus helpers the reference parsed by hand:
+
+  * comma-string sizes like ``"512, 1024"`` (``main.py:65-66``) via
+    :func:`parse_int_list`
+  * the full ``config.yaml`` schema (``config.yaml:2-152``) with defaults via
+    :func:`default_config`
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Iterator, Mapping
+
+import yaml
+
+
+def parse_int_list(value: Any) -> list[int]:
+    """Parse ``"512, 1024"`` / ``[512, 1024]`` / ``512`` into a list of ints.
+
+    The reference stores image sizes as comma strings in YAML and splits them
+    by hand (``main.py:65-66``, ``main.py:28-29``); we accept those plus
+    native lists.
+    """
+    if isinstance(value, (list, tuple)):
+        return [int(v) for v in value]
+    if isinstance(value, str):
+        return [int(v.strip()) for v in value.split(",") if v.strip()]
+    return [int(value)]
+
+
+def parse_float_list(value: Any) -> list[float]:
+    """Same as :func:`parse_int_list` but for floats (e.g. blur sigma)."""
+    if isinstance(value, (list, tuple)):
+        return [float(v) for v in value]
+    if isinstance(value, str):
+        return [float(v.strip()) for v in value.split(",") if v.strip()]
+    return [float(value)]
+
+
+class ConfigNode(Mapping):
+    """Read-only mapping with attribute access; nests recursively."""
+
+    __slots__ = ("_data",)
+
+    def __init__(self, data: dict):
+        object.__setattr__(self, "_data", dict(data))
+
+    # -- mapping protocol ---------------------------------------------------
+    def __getitem__(self, key: str) -> Any:
+        return _wrap(self._data[key])
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._data)
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+    def get(self, key: str, default: Any = None) -> Any:
+        if key in self._data:
+            return _wrap(self._data[key])
+        return default
+
+    def keys(self):
+        return self._data.keys()
+
+    # -- attribute access ---------------------------------------------------
+    def __getattr__(self, name: str) -> Any:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            return _wrap(self._data[name])
+        except KeyError as e:
+            raise AttributeError(f"config has no key {name!r}") from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        raise AttributeError("ConfigNode is read-only")
+
+    def __contains__(self, key) -> bool:
+        return key in self._data
+
+    def __repr__(self) -> str:
+        return f"ConfigNode({self._data!r})"
+
+    def to_dict(self) -> dict:
+        return copy.deepcopy(self._data)
+
+    def _asdict(self) -> dict:  # namedtuple-compatibility (main.py:296)
+        return self.to_dict()
+
+    def replace(self, **updates) -> "ConfigNode":
+        """Return a new node with top-level keys replaced/merged."""
+        data = copy.deepcopy(self._data)
+        for k, v in updates.items():
+            if isinstance(v, ConfigNode):
+                v = v.to_dict()
+            if isinstance(v, dict) and isinstance(data.get(k), dict):
+                data[k] = _deep_merge(data[k], v)
+            else:
+                data[k] = v
+        return ConfigNode(data)
+
+
+def _wrap(value: Any) -> Any:
+    if isinstance(value, dict):
+        return ConfigNode(value)
+    return value
+
+
+def _deep_merge(base: dict, override: dict) -> dict:
+    out = copy.deepcopy(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+# An alias so user code can type-annotate `Config`.
+Config = ConfigNode
+
+
+_DEFAULTS: dict = {
+    # mirrors the reference config.yaml schema (config.yaml:2-152)
+    "data": {
+        "cityscapes": {
+            "images_train_dir": "data/Cityscapes/Cityspaces/images/train",
+            "images_val_dir": "data/Cityscapes/Cityspaces/images/val",
+            "segmentation_train_dir": "data/Cityscapes/Cityspaces/gtFine/train",
+            "segmentation_val_dir": "data/Cityscapes/Cityspaces/gtFine/val",
+            "image_size": "512, 1024",
+            "num_classes": 19,
+            "batch_size": 4,
+            "num_workers": 4,
+        },
+        "gta5_modified": {
+            "images_dir": "data/GTA5_Modified/images",
+            "segmentation_dir": "data/GTA5_Modified/labels",
+            "image_size": "720, 1280",
+            "num_classes": 19,
+            "batch_size": 4,
+            "num_workers": 4,
+        },
+    },
+    "meta": {
+        "class_names": [
+            "road", "sidewalk", "building", "wall", "fence", "pole",
+            "traffic light", "traffic sign", "vegetation", "terrain", "sky",
+            "person", "rider", "car", "truck", "bus", "train", "motorcycle",
+            "bicycle",
+        ],
+    },
+    "model": {
+        "deeplab": {
+            "backbone": "resnet101",
+            "num_classes": 19,
+            "pretrain": False,
+            "pretrain_model_path": "",
+            "power_lr_factor": 0.9,
+            "optimizer": {"name": "Adam", "lr": 0.0001},
+            "criterion": {"name": "CrossEntropy", "ignore_index": 19},
+        },
+        "bisenet": {
+            "backbone": "resnet18",
+            "num_classes": 19,
+            "pretrained": False,
+            "pretrain_model_path": "",
+            "power_lr_factor": 0.9,
+            "optimizer": {"name": "Adam", "lr": 0.0001},
+            "criterion": {"name": "CrossEntropy", "ignore_index": 19},
+        },
+        "adversarial_model": {
+            "generator": {
+                "name": "bisenet",
+                "power_lr_factor": 0.9,
+                "optimizer": {"name": "Adam", "lr": 0.0001},
+                "criterion": {"name": "CrossEntropy", "ignore_index": 19},
+            },
+            "discriminator": {
+                "name": "tiny",
+                "power_lr_factor": 0.05,
+                "input_channels": 19,
+                "optimizer": {
+                    "name": "Adam",
+                    "lr": 0.0001,
+                    "weight_decay": 0.0001,
+                },
+                "criterion": {"name": "BCEWithLogits"},
+            },
+        },
+    },
+    "training": {
+        "segmentation": {
+            "num_classes": 19,
+            "lambda": 0.1,
+            "lr_decay_iter": 1,
+            "epochs": 50,
+            "do_validation": 1,
+            "when_print": -1,
+        },
+        "domain_adaptation": {
+            "num_classes": 19,
+            "iterations": 100,
+            "lambda": 0.1,
+            "lr_decay_iter": 1,
+            "epochs": 50,
+            "do_validation": 1,
+            "when_print": -1,
+            # ours: select the reference's v1 or v2 loop semantics
+            # (train.py:130 vs train.py:322)
+            "variant": "v1",
+        },
+    },
+    "augmentation": {
+        "p": 0.5,
+        "GaussianBlur": {"kernel_size": "5, 9", "sigma": "0.1, 5"},
+        "RandomHorizontalFlip": {"p": 0.5},
+    },
+    "callbacks": {
+        "model_checkpoint": {
+            "save_dir": "checkpoints",
+            "save_name": "model",
+            "save_best": True,
+            "monitor": "validation_mIoU",
+            "mode": "max",
+            "save_freq": 1,
+        },
+        "early_stopping": {
+            "monitor": "validation_mIoU",
+            "mode": "max",
+            "patience": 5,
+        },
+        "logging": {
+            "wandb": {
+                "project_name": "domain_adaptation",
+                "run_name": "v1",
+                "note": "Domain Adaptation",
+            },
+        },
+        "images_plots": {"save_dir": "images", "number_of_samples": 4},
+    },
+    # generalization of the reference's `device: cpu|cuda` (config.yaml:152):
+    # platform is resolved by JAX; `mesh` declares parallel axes.
+    "device": "tpu",
+    "mesh": {"data": -1},  # -1 = all available devices on the data axis
+    "precision": {
+        # params stay float32; compute dtype for the conv/matmul path
+        "compute_dtype": "float32",
+        "inference_dtype": "bfloat16",
+    },
+}
+
+
+def default_config() -> Config:
+    return ConfigNode(copy.deepcopy(_DEFAULTS))
+
+
+def load_config(path: str | None = None, overrides: dict | None = None) -> Config:
+    """Load a reference-schema YAML config, merged over our defaults.
+
+    Unknown keys pass through untouched so user configs written for the
+    reference's ``config.yaml`` work unmodified.
+    """
+    data = copy.deepcopy(_DEFAULTS)
+    if path is not None:
+        with open(path) as f:
+            user = yaml.safe_load(f) or {}
+        data = _deep_merge(data, user)
+    if overrides:
+        data = _deep_merge(data, overrides)
+    return ConfigNode(data)

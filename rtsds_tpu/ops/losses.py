@@ -1,0 +1,69 @@
+"""Losses, matching the semantics of the torch criteria the reference uses
+(``nn.CrossEntropyLoss(ignore_index=19)`` and ``nn.BCEWithLogitsLoss``,
+``main.py:124-134``) but written channel-last for TPU.
+
+Logits are NHWC (class axis last); labels are (N, H, W) int32.  The
+reference's NCHW criterion calls are equivalent after transpose.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy(logits, labels, ignore_index: int | None = None):
+    """Mean cross entropy over non-ignored pixels.
+
+    Matches torch ``CrossEntropyLoss(ignore_index=...)`` with the default
+    'mean' reduction: the sum of per-pixel NLL divided by the count of
+    non-ignored pixels.
+    """
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    labels = labels.astype(jnp.int32)
+    if ignore_index is None:
+        ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        return -jnp.mean(ll)
+    # Clamp for safe gather; masked out afterwards.
+    safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    mask = (labels != ignore_index).astype(jnp.float32)
+    denom = jnp.maximum(mask.sum(), 1.0)
+    return -(ll * mask).sum() / denom
+
+
+def bce_with_logits(logits, targets):
+    """Binary cross entropy with logits, mean reduction (torch
+    ``BCEWithLogitsLoss``): ``max(x,0) - x*y + log(1+exp(-|x|))``."""
+    x = logits.astype(jnp.float32)
+    y = jnp.broadcast_to(jnp.asarray(targets, jnp.float32), x.shape)
+    loss = jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    return loss.mean()
+
+
+def segmentation_loss(outputs, labels, ignore_index: int | None = 19):
+    """Main + auxiliary-head CE sum (``train.py:86-92``).
+
+    ``outputs`` is either a single logits array or the training-mode
+    3-tuple ``(main, aux1, aux2)`` (aux entries may be None, as DeepLabV2
+    returns ``(x, None, None)``, ``deeplabv2.py:128-130``).
+    """
+    if not isinstance(outputs, (tuple, list)):
+        outputs = (outputs,)
+    loss = 0.0
+    for out in outputs:
+        if out is not None:
+            loss = loss + cross_entropy(out, labels, ignore_index)
+    return loss
+
+
+def make_criterion(cfg):
+    """Criterion factory from a config node (``main.py:124-134``)."""
+    name = cfg["name"]
+    if name == "CrossEntropy":
+        ignore_index = cfg.get("ignore_index", None)
+        return lambda logits, labels: cross_entropy(logits, labels, ignore_index)
+    if name == "BCEWithLogits":
+        return bce_with_logits
+    raise ValueError("Invalid loss name. Please select CrossEntropy or BCEWithLogits")
