@@ -1,0 +1,147 @@
+"""BiSeNet: real-time bilateral segmentation network (Flax/NHWC).
+
+Re-design of the reference implementation (``build_bisenet.py:8-172``) with
+identical graph topology and channel math:
+
+  * Spatial path: 3x ConvBlock(3x3, stride 2) -> 64 -> 128 -> 256 at 1/8 res
+  * Context path: ResNet18/101 exposing (1/16, 1/32, tail) features
+  * ARM on each context feature (global pool -> 1x1 conv -> BN -> sigmoid
+    gate), tail-multiply on the 1/32 branch
+  * bilinear upsample of both context branches to the spatial-path size,
+    concat, FFM fuse (concat -> ConvBlock stride 1 -> SE-style gate ->
+    mul + add)
+  * 8x bilinear upsample + final 1x1 conv
+  * training mode returns ``(result, cx1_sup, cx2_sup)`` with the two
+    auxiliary supervision heads upsampled to input size
+    (``build_bisenet.py:155-170``)
+
+FFM input channels: resnet18 -> 1024 (256 spatial + 256 + 512 context),
+resnet101 -> 3328 (256 + 1024 + 2048) (``build_bisenet.py:60-61,95-112``).
+
+TPU-first: NHWC end to end; optional ``dtype=bfloat16`` runs convs on the
+MXU in bf16 (params stay f32); the gating ops (sigmoid-mul chains) are
+elementwise and fuse into the surrounding convs under XLA.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rtsds_tpu.models.layers import ConvBlock, batch_norm, conv, global_avg_pool, kaiming_normal_relu
+from rtsds_tpu.models.resnet import FEATURE_CHANNELS, build_contextpath
+from rtsds_tpu.ops.resize import resize_bilinear, upsample_bilinear
+
+
+class SpatialPath(nn.Module):
+    """3 stride-2 ConvBlocks: 3 -> 64 -> 128 -> 256 (``build_bisenet.py:21-32``)."""
+
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBlock(64, dtype=self.dtype, name="convblock1")(x, train)
+        x = ConvBlock(128, dtype=self.dtype, name="convblock2")(x, train)
+        x = ConvBlock(256, dtype=self.dtype, name="convblock3")(x, train)
+        return x
+
+
+class AttentionRefinementModule(nn.Module):
+    """Channel gate: global pool -> 1x1 conv -> BN -> sigmoid -> mul
+    (``build_bisenet.py:35-53``)."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert x.shape[-1] == self.features, (
+            f"in_channels and out_channels should all be {x.shape[-1]}")
+        gate = global_avg_pool(x)
+        gate = conv(self.features, 1, kernel_init=kaiming_normal_relu,
+                    dtype=self.dtype, name="conv")(gate)
+        gate = batch_norm(not train, name="bn", dtype=self.dtype)(gate)
+        gate = nn.sigmoid(gate)
+        return x * gate
+
+
+class FeatureFusionModule(nn.Module):
+    """Concat -> ConvBlock(stride 1) -> SE-style gate -> mul + add
+    (``build_bisenet.py:56-81``)."""
+
+    num_classes: int
+    in_channels: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, input_1, input_2, train: bool = False):
+        x = jnp.concatenate([input_1, input_2], axis=-1)
+        assert x.shape[-1] == self.in_channels, (
+            f"in_channels of ConvBlock should be {x.shape[-1]}")
+        feature = ConvBlock(self.num_classes, stride=1, dtype=self.dtype,
+                            name="convblock")(x, train)
+        gate = global_avg_pool(feature)
+        gate = nn.relu(conv(self.num_classes, 1, kernel_init=kaiming_normal_relu,
+                            dtype=self.dtype, name="conv1")(gate))
+        gate = nn.sigmoid(conv(self.num_classes, 1, kernel_init=kaiming_normal_relu,
+                               dtype=self.dtype, name="conv2")(gate))
+        return feature * gate + feature
+
+
+class BiSeNet(nn.Module):
+    """BiSeNet with ResNet context path (``build_bisenet.py:84-172``).
+
+    Call with NHWC float input.  ``train=True`` returns the 3-tuple
+    ``(result, cx1_sup, cx2_sup)``; eval returns the main logits only
+    (both NHWC with ``num_classes`` channels at input resolution).
+    ``with_interpolation=False`` skips the final 8x upsample + 1x1 conv,
+    matching the reference flag (``build_bisenet.py:85,165-167``).
+    """
+
+    num_classes: int = 19
+    context_path: str = "resnet18"
+    with_interpolation: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c16, c32 = FEATURE_CHANNELS[self.context_path]
+
+        sx = SpatialPath(dtype=self.dtype, name="spatial_path")(x, train)
+
+        backbone = build_contextpath(self.context_path, dtype=self.dtype)
+        cx1, cx2, tail = backbone.copy(name="context_path")(x, train=train)
+
+        cx1 = AttentionRefinementModule(c16, dtype=self.dtype,
+                                        name="arm1")(cx1, train)
+        cx2 = AttentionRefinementModule(c32, dtype=self.dtype,
+                                        name="arm2")(cx2, train)
+        cx2 = cx2 * tail
+
+        sx_size = (sx.shape[1], sx.shape[2])
+        cx1 = resize_bilinear(cx1, sx_size)
+        cx2 = resize_bilinear(cx2, sx_size)
+        cx = jnp.concatenate([cx1, cx2], axis=-1)
+
+        if train:
+            in_size = (x.shape[1], x.shape[2])
+            cx1_sup = conv(self.num_classes, 1, kernel_init=kaiming_normal_relu,
+                           dtype=self.dtype, name="supervision1")(cx1)
+            cx2_sup = conv(self.num_classes, 1, kernel_init=kaiming_normal_relu,
+                           dtype=self.dtype, name="supervision2")(cx2)
+            cx1_sup = resize_bilinear(cx1_sup, in_size).astype(jnp.float32)
+            cx2_sup = resize_bilinear(cx2_sup, in_size).astype(jnp.float32)
+
+        result = FeatureFusionModule(
+            self.num_classes, 256 + c16 + c32, dtype=self.dtype,
+            name="ffm")(sx, cx, train)
+
+        if self.with_interpolation:
+            result = upsample_bilinear(result, 8)
+            result = conv(self.num_classes, 1, kernel_init=kaiming_normal_relu,
+                          dtype=self.dtype, name="conv")(result)
+        result = result.astype(jnp.float32)
+
+        if train:
+            return result, cx1_sup, cx2_sup
+        return result

@@ -1,0 +1,106 @@
+"""Shared building blocks (NHWC, Flax linen).
+
+Initializer parity with the reference:
+  * ``kaiming_normal(mode='fan_in', nonlinearity='relu')`` for BiSeNet
+    head convs (``build_bisenet.py:130-138``) ->
+    ``variance_scaling(2.0, 'fan_in', 'truncated_normal'=False normal)``
+  * torch's default Conv2d init (kaiming_uniform with a=sqrt(5)) for
+    backbone/discriminator convs -> ``variance_scaling(1/3, 'fan_in',
+    'uniform')``
+  * ``normal(0, 0.01)`` for DeepLabV2 (``deeplabv2.py:85-90``)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.nn.initializers import normal, variance_scaling
+
+# torch nn.init.kaiming_normal_(mode='fan_in', nonlinearity='relu')
+kaiming_normal_relu = variance_scaling(2.0, "fan_in", "normal")
+# torch default Conv2d kernel init: kaiming_uniform_(a=sqrt(5))
+torch_default_conv = variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+# deeplabv2.py:87 weight init
+normal_001 = normal(stddev=0.01)
+
+# torch BatchNorm2d(momentum=0.1) == flax BatchNorm(momentum=0.9)
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+def conv(features: int, kernel: int = 3, stride: int = 1, padding: int = 0,
+         dilation: int = 1, use_bias: bool = True,
+         kernel_init: Callable = torch_default_conv, name: str | None = None,
+         dtype=None) -> nn.Conv:
+    """2-D conv with torch-style symmetric integer padding."""
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        kernel_dilation=(dilation, dilation),
+        use_bias=use_bias,
+        kernel_init=kernel_init,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def batch_norm(use_running_average: bool, name: str | None = None,
+               dtype=None) -> nn.BatchNorm:
+    return nn.BatchNorm(
+        use_running_average=use_running_average,
+        momentum=BN_MOMENTUM,
+        epsilon=BN_EPS,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class ConvBlock(nn.Module):
+    """Conv -> BN -> ReLU (``build_bisenet.py:8-18``); default stride 2."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 2
+    padding: int = 1
+    kernel_init: Callable = kaiming_normal_relu
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv(self.features, self.kernel, self.stride, self.padding,
+                 use_bias=False, kernel_init=self.kernel_init,
+                 dtype=self.dtype, name="conv1")(x)
+        x = batch_norm(not train, name="bn", dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+def global_avg_pool(x, keepdims: bool = True):
+    """Adaptive average pool to 1x1 over NHWC spatial dims."""
+    return jnp.mean(x, axis=(1, 2), keepdims=keepdims)
+
+
+def max_pool_3x3_s2(x, ceil_mode: bool = False):
+    """torch ``MaxPool2d(kernel_size=3, stride=2, padding=1)``.
+
+    ``ceil_mode=True`` (DeepLabV2's stem, ``deeplabv2.py:79``) pads the high
+    edge so partial windows are kept; window counts follow torch's formula.
+    """
+    k, s, p = 3, 2, 1
+    h, w = x.shape[1], x.shape[2]
+
+    def hi_pad(size: int) -> int:
+        if ceil_mode:
+            out = -(-(size + 2 * p - k) // s) + 1
+            # torch: skip a window that would start entirely in the padding
+            if (out - 1) * s >= size + p:
+                out -= 1
+        else:
+            out = (size + 2 * p - k) // s + 1
+        return max((out - 1) * s + k - size - p, 0)
+
+    padding = ((p, hi_pad(h)), (p, hi_pad(w)))
+    return nn.max_pool(x, window_shape=(k, k), strides=(s, s), padding=padding)

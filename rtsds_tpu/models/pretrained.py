@@ -1,0 +1,179 @@
+"""Pretrained-weight ingestion: torch state dicts -> Flax variable trees.
+
+Capability parity with the reference's two loading paths:
+  * torchvision ImageNet ResNets for the BiSeNet context path
+    (``build_contextpath.py:8,35`` uses ``pretrained=True``)
+  * the DeepLabV2 external checkpoint, whose keys are ingested by stripping
+    the first dotted segment and loading non-strictly
+    (``deeplabv2.py:179-188``)
+
+Offline-friendly: loading happens only when a local ``.pth``/``.npz`` path
+is supplied (this environment has no network egress); otherwise models run
+from random init.  torch is used purely as a host-side deserializer.
+
+Layout conversion: torch Conv2d weights are OIHW, Flax kernels are HWIO
+(``transpose(2, 3, 1, 0)``); BN ``weight/bias`` -> params ``scale/bias``;
+``running_mean/running_var`` -> batch_stats ``mean/var``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import numpy as np
+
+
+def _to_numpy(v) -> np.ndarray:
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def _translate_key(key: str) -> tuple[str, tuple[str, ...]] | None:
+    """torch dotted key -> (collection, flax path) or None to skip.
+
+    Handles torchvision-style names::
+
+        conv1.weight                    -> params/conv1/kernel
+        bn1.weight|bias                 -> params/bn1/scale|bias
+        bn1.running_mean|var            -> batch_stats/bn1/mean|var
+        layer2.3.conv1.weight           -> params/layer2_3/conv1/kernel
+        layer2.0.downsample.0.weight    -> params/layer2_0/downsample_conv/kernel
+        layer2.0.downsample.1.*         -> params/layer2_0/downsample_bn/*
+        layer6.conv2d_list.2.weight     -> params/layer6/conv2d_list_2/kernel
+    """
+    parts = key.split(".")
+    if parts[-1] == "num_batches_tracked":
+        return None
+
+    # flatten "layerL.B" -> "layerL_B" and "conv2d_list.I" -> "conv2d_list_I"
+    flat: list[str] = []
+    i = 0
+    while i < len(parts) - 1:  # last part is the leaf name
+        p = parts[i]
+        nxt = parts[i + 1] if i + 1 < len(parts) - 1 else None
+        if re.fullmatch(r"layer\d+", p) and nxt is not None and nxt.isdigit():
+            flat.append(f"{p}_{nxt}")
+            i += 2
+        elif p == "conv2d_list" and nxt is not None and nxt.isdigit():
+            flat.append(f"conv2d_list_{nxt}")
+            i += 2
+        elif p == "downsample" and nxt is not None:
+            # downsample.0 = conv, downsample.1 = bn
+            flat.append("downsample_conv" if nxt == "0" else "downsample_bn")
+            i += 2
+        else:
+            flat.append(p)
+            i += 1
+    leaf = parts[-1]
+
+    is_bn = bool(flat) and ("bn" in flat[-1] or flat[-1] == "downsample_bn")
+    if leaf == "weight":
+        if is_bn:
+            return "params", (*flat, "scale")
+        return "params", (*flat, "kernel")
+    if leaf == "bias":
+        return "params", (*flat, "bias")
+    if leaf == "running_mean":
+        return "batch_stats", (*flat, "mean")
+    if leaf == "running_var":
+        return "batch_stats", (*flat, "var")
+    return None
+
+
+def convert_torch_state_dict(state_dict: Mapping[str, object],
+                             strip_prefix: bool = False) -> dict:
+    """Convert a torch state dict into ``{"params": ..., "batch_stats": ...}``.
+
+    ``strip_prefix=True`` drops the first dotted segment of every key, the
+    reference's DeepLab ingestion rule (``deeplabv2.py:185-187``).
+    """
+    out: dict = {"params": {}, "batch_stats": {}}
+    for key, value in state_dict.items():
+        if strip_prefix:
+            key = key.split(".", 1)[-1]
+        translated = _translate_key(key)
+        if translated is None:
+            continue
+        collection, path = translated
+        arr = _to_numpy(value)
+        if path[-1] == "kernel" and arr.ndim == 4:
+            arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        node = out[collection]
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = arr
+    return out
+
+
+def _merge(dst: dict, src: dict, path: str = "") -> tuple[int, list[str]]:
+    """Recursively copy matching leaves of src into dst (strict=False)."""
+    loaded, skipped = 0, []
+    for k, v in src.items():
+        if k not in dst:
+            skipped.append(f"{path}{k}")
+            continue
+        if isinstance(v, dict) and isinstance(dst[k], dict):
+            sub_loaded, sub_skipped = _merge(dst[k], v, f"{path}{k}/")
+            loaded += sub_loaded
+            skipped += sub_skipped
+        else:
+            if np.shape(dst[k]) != np.shape(v):
+                skipped.append(f"{path}{k} (shape {np.shape(v)} vs {np.shape(dst[k])})")
+                continue
+            dst[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
+            loaded += 1
+    return loaded, skipped
+
+
+def merge_pretrained(variables: dict, converted: dict,
+                     submodule: str | None = None, verbose: bool = True) -> dict:
+    """Load converted weights into a freshly-initialized variable tree.
+
+    ``submodule`` targets a nested scope (e.g. ``"context_path"`` to load a
+    torchvision ResNet into BiSeNet's backbone).  Non-strict, like the
+    reference's ``load_state_dict(strict=False)``.
+    """
+    import jax
+
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    total_loaded = 0
+    all_skipped: list[str] = []
+    for collection in ("params", "batch_stats"):
+        if collection not in variables or collection not in converted:
+            continue
+        dst = variables[collection]
+        if submodule is not None:
+            if submodule not in dst:
+                continue
+            dst = dst[submodule]
+        loaded, skipped = _merge(dst, converted[collection])
+        total_loaded += loaded
+        all_skipped += skipped
+    if verbose:
+        print(f"pretrained: loaded {total_loaded} tensors"
+              + (f", skipped {len(all_skipped)}" if all_skipped else ""))
+    return variables
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Deserialize a ``.pth``/``.pt`` (via torch) or ``.npz`` checkpoint."""
+    if path.endswith(".npz"):
+        with np.load(path) as f:
+            return dict(f)
+    import torch  # host-side deserializer only
+
+    return torch.load(path, map_location="cpu", weights_only=True)
+
+
+def load_deeplab_pretrained(path: str) -> dict:
+    """DeepLab external checkpoint -> converted tree (``deeplabv2.py:179-188``)."""
+    state = load_torch_checkpoint(path)
+    return convert_torch_state_dict(state, strip_prefix=True)
+
+
+def load_backbone_pretrained(path: str) -> dict:
+    """torchvision ImageNet ResNet checkpoint -> converted tree."""
+    state = load_torch_checkpoint(path)
+    return convert_torch_state_dict(state, strip_prefix=False)
