@@ -1,0 +1,275 @@
+"""CLI entry point, flag-compatible with the reference's ``main.py``.
+
+Flags (``main.py:233-260``): ``--config`` (yaml path), ``--dataset``
+(cityscapes|gta5), ``--augmented``, ``--domain_adaptation``, ``--model``
+(bisenet|deeplab), ``--wandb``, ``--seed``.
+
+Run: ``python main.py --config config.yaml [--domain_adaptation] ...``
+
+Orchestration parity with ``main.py:272-374``: build datasets/loaders,
+callbacks (W&B if flagged, plus the checkpoint/early-stopping/image-plot
+callbacks the reference declared in config.yaml but never implemented),
+build models + optimizers, dispatch to the supervised or adversarial loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+from functools import partial
+
+import jax
+
+from rtsds_tpu.config import load_config, parse_int_list
+from rtsds_tpu.utils.seeding import set_seed
+
+
+def argument_parser(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Semantic Segmentation and Domain Adaptation (TPU-native)")
+    parser.add_argument("--config", type=str, default="config.yaml",
+                        help="Path to the config file. [Default is config.yaml.]")
+    parser.add_argument("--dataset", type=str, default="cityscapes",
+                        help="Dataset for training without domain adaptation: "
+                             "cityscapes or gta5. [Default is cityscapes.]")
+    parser.add_argument("--augmented", action="store_true",
+                        help="Apply augmentation (GTA5 dataset only).")
+    parser.add_argument("--domain_adaptation", action="store_true",
+                        help="Run adversarial domain-adaptation training.")
+    parser.add_argument("--model", type=str, default="bisenet",
+                        help="Segmentation model: deeplab or bisenet. "
+                             "[Default is bisenet.]")
+    parser.add_argument("--wandb", action="store_true",
+                        help="Log to the W&B platform.")
+    parser.add_argument("--seed", type=int, default=42,
+                        help="Seed for reproducibility. [Default is 42.]")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="(ours) run on synthetic data -- smoke testing "
+                             "without the datasets on disk.")
+    parser.add_argument("--resume", action="store_true",
+                        help="(ours) resume from the latest checkpoint.")
+    return parser.parse_args(argv)
+
+
+def datasets_loader(config, is_augmented: bool, synthetic: bool = False,
+                    seed: int = 42):
+    """Build (cs_train, cs_val, gta5_train) loaders + device transforms
+    (``datasets_loader``, ``main.py:60-108``).
+
+    Returns dict with host loaders, jitted transforms and sizes.
+    """
+    from rtsds_tpu.data.indexing import build_cityscapes_index, build_gta5_index
+    from rtsds_tpu.data.pipeline import DataLoader, SegmentationDataset
+    from rtsds_tpu.data.synthetic import SyntheticSegDataset
+    from rtsds_tpu.ops.augment import AugmentConfig
+    from rtsds_tpu.ops.preprocess import make_transform
+
+    cs = config.data.get("cityscapes")
+    gta5 = config.data.get("gta5_modified")
+    cs_size = tuple(parse_int_list(cs["image_size"]))
+    gta5_size = tuple(parse_int_list(gta5["image_size"]))
+
+    if synthetic:
+        cs_train_ds = SyntheticSegDataset(16, cs_size, cs["num_classes"], seed)
+        cs_val_ds = SyntheticSegDataset(8, cs_size, cs["num_classes"], seed + 1)
+        gta5_ds = SyntheticSegDataset(16, gta5_size, gta5["num_classes"],
+                                      seed + 2)
+    else:
+        cs_train_ds = SegmentationDataset(
+            build_cityscapes_index(cs["segmentation_train_dir"],
+                                   cs["images_train_dir"]), cs_size)
+        cs_val_ds = SegmentationDataset(
+            build_cityscapes_index(cs["segmentation_val_dir"],
+                                   cs["images_val_dir"]), cs_size)
+        gta5_ds = SegmentationDataset(
+            build_gta5_index(gta5["images_dir"], gta5["segmentation_dir"]),
+            gta5_size)
+
+    aug_cfg = AugmentConfig.from_config(config) if is_augmented else None
+
+    # transforms (main.py:69-95): Cityscapes antialias resize + normalize;
+    # GTA5 [augment] + resize + normalize; labels nearest + clamp.
+    # Host loaders already resize to static size, so the device transform
+    # resize is an identity no-op folded away by XLA.
+    cs_transform = jax.jit(make_transform(cs_size, cs["num_classes"],
+                                          antialias=True))
+    gta5_transform = jax.jit(make_transform(gta5_size, gta5["num_classes"],
+                                            antialias=False,
+                                            augment_cfg=aug_cfg))
+
+    mk = partial(DataLoader, num_workers=cs["num_workers"], seed=seed)
+    return {
+        "cs_train": mk(cs_train_ds, cs["batch_size"], shuffle=True),
+        "cs_val": mk(cs_val_ds, cs["batch_size"], shuffle=False,
+                     drop_last=False),
+        "gta5_train": mk(gta5_ds, gta5["batch_size"], shuffle=True),
+        "cs_transform": cs_transform,
+        "gta5_transform": gta5_transform,
+        "cs_size": cs_size,
+        "gta5_size": gta5_size,
+    }
+
+
+def build_callbacks(config, use_wandb: bool):
+    """Callbacks from config (``main.py:292-300`` + the declared-but-never-
+    implemented config.yaml:127-149 schema, implemented here)."""
+    from rtsds_tpu.callbacks import (
+        EarlyStopping,
+        ModelCheckpoint,
+        WandBCallback,
+    )
+
+    cb_cfg = config.callbacks
+    callbacks = []
+    if use_wandb:
+        wb = cb_cfg.get("logging")["wandb"]
+        callbacks.append(WandBCallback(project_name=wb["project_name"],
+                                       run_name=wb["run_name"],
+                                       config=config._asdict(),
+                                       note=wb["note"]))
+    checkpoint = None
+    if "model_checkpoint" in cb_cfg:
+        mc = cb_cfg["model_checkpoint"]
+        checkpoint = ModelCheckpoint(
+            save_dir=mc["save_dir"], save_name=mc["save_name"],
+            save_best=bool(mc.get("save_best", True)),
+            monitor=mc.get("monitor", "validation_mIoU"),
+            mode=mc.get("mode", "max"),
+            save_freq=int(mc.get("save_freq", 1)))
+    if "early_stopping" in cb_cfg:
+        es = cb_cfg["early_stopping"]
+        callbacks.append(EarlyStopping(
+            monitor=es.get("monitor", "validation_mIoU"),
+            mode=es.get("mode", "max"),
+            patience=int(es.get("patience", 5))))
+    return callbacks, checkpoint
+
+
+def _device_batches(loader, transform, mesh, key=None, augment=False,
+                    infinite=False):
+    """host loader -> sharded device batches through the fused transform."""
+    from rtsds_tpu.parallel.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh)
+
+    def gen():
+        i = 0
+        while True:
+            for images, labels in loader:
+                images = jax.device_put(images, sharding)
+                labels = jax.device_put(labels, sharding)
+                if augment and key is not None:
+                    yield transform(images, labels, jax.random.fold_in(key, i))
+                else:
+                    yield transform(images, labels)
+                i += 1
+            if not infinite:
+                return
+
+    return gen()
+
+
+def main(argv=None):
+    args = argument_parser(argv)
+    root_key = set_seed(args.seed)
+    config = load_config(args.config if args.config else None)
+
+    from rtsds_tpu.parallel.mesh import make_mesh
+    from rtsds_tpu.train.factory import build_adversarial, build_supervised
+    from rtsds_tpu.train.loop import adversarial_fit, supervised_fit
+
+    mesh = make_mesh()
+    data = datasets_loader(config, is_augmented=args.augmented,
+                           synthetic=args.synthetic, seed=args.seed)
+    callbacks, checkpoint = build_callbacks(config, args.wandb)
+    class_names = list(config.meta["class_names"])
+    init_key, aug_key = jax.random.split(root_key)
+
+    if args.domain_adaptation:
+        tcfg = config.training["domain_adaptation"]
+        gen_bundle, dis_bundle = build_adversarial(config)
+        import jax.numpy as jnp
+
+        gta5_bs = config.data["gta5_modified"]["batch_size"]
+        cs_bs = config.data["cityscapes"]["batch_size"]
+        gen_state = gen_bundle.init_state(
+            init_key, jnp.zeros((gta5_bs, *data["gta5_size"], 3)))
+        dis_state = dis_bundle.init_state(
+            init_key, jnp.zeros((cs_bs, *data["cs_size"],
+                                 tcfg["num_classes"])))
+
+        from rtsds_tpu.train.adversarial import make_adversarial_step
+
+        da_step = make_adversarial_step(
+            lambda_=float(tcfg["lambda"]), iterations=int(tcfg["iterations"]),
+            epochs=int(tcfg["epochs"]),
+            ignore_index=config.model["bisenet"]["criterion"].get(
+                "ignore_index"),
+            variant=str(tcfg.get("variant", "v1")))
+
+        source_iter = _device_batches(
+            data["gta5_train"], data["gta5_transform"], mesh, key=aug_key,
+            augment=args.augmented, infinite=True)
+        target_iter = _device_batches(
+            data["cs_train"], data["cs_transform"], mesh, infinite=True)
+
+        def val_batches(_epoch):
+            return _device_batches(data["cs_val"], data["cs_transform"], mesh)
+
+        if args.resume and checkpoint is not None:
+            checkpoint.attach(lambda: {"generator": gen_state,
+                                       "discriminator": dis_state})
+            restored = checkpoint.manager.restore(
+                {"generator": gen_state, "discriminator": dis_state})
+            gen_state = restored["generator"]
+            dis_state = restored["discriminator"]
+
+        adversarial_fit(
+            gen_state, dis_state, da_step, source_iter, target_iter,
+            val_batches, iterations=int(tcfg["iterations"]),
+            epochs=int(tcfg["epochs"]), num_classes=int(tcfg["num_classes"]),
+            class_names=class_names, callbacks=callbacks,
+            do_validation=int(tcfg["do_validation"]), checkpoint=checkpoint)
+    else:
+        if args.dataset == "gta5":
+            print(" ------> Training on GTA5, validating on Cityscapes ------ ")
+            train_loader, train_transform = data["gta5_train"], data["gta5_transform"]
+            train_augment = args.augmented
+        else:
+            train_loader, train_transform = data["cs_train"], data["cs_transform"]
+            train_augment = False
+
+        tcfg = config.training.get("segmentation")
+        bundle = build_supervised(config, args.model, len(train_loader))
+        import jax.numpy as jnp
+
+        bs = config.data["cityscapes"]["batch_size"]
+        size = data["gta5_size"] if args.dataset == "gta5" else data["cs_size"]
+        state = bundle.init_state(init_key, jnp.zeros((bs, *size, 3)))
+
+        from rtsds_tpu.train.supervised import make_train_step
+
+        cfg_model = config.model[
+            "bisenet" if args.model == "bisenet" else "deeplab"]
+        train_step = make_train_step(
+            ignore_index=cfg_model["criterion"].get("ignore_index"))
+
+        def train_batches(_epoch):
+            return _device_batches(train_loader, train_transform, mesh,
+                                   key=aug_key, augment=train_augment)
+
+        def val_batches(_epoch):
+            return _device_batches(data["cs_val"], data["cs_transform"], mesh)
+
+        if args.resume and checkpoint is not None:
+            checkpoint.attach(lambda: {"model": state})
+            state = checkpoint.manager.restore({"model": state})["model"]
+
+        supervised_fit(
+            state, train_step, train_batches, val_batches,
+            epochs=int(tcfg["epochs"]), num_classes=int(tcfg["num_classes"]),
+            class_names=class_names, callbacks=callbacks,
+            do_validation=int(tcfg["do_validation"]), checkpoint=checkpoint)
+
+
+if __name__ == "__main__":
+    main()

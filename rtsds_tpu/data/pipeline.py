@@ -1,0 +1,182 @@
+"""Host-side input pipeline: decode -> (host resize) -> batch -> prefetch,
+feeding device-resident, optionally sharded batches.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` with worker
+processes (``main.py:101-106``): here a thread pool decodes PNGs (PIL
+releases the GIL around libpng), samples are resized on the host to the
+static training size so batches stack to fixed shapes (no recompiles), and
+finished batches are prefetched into a bounded queue while the previous
+step runs on device.  Normalization / augmentation / label clamping happen
+on device in one fused jit program (``rtsds_tpu/ops/preprocess.py``).
+
+GTA5 raw labels can be RGB-coded; the vectorized remap
+(``rtsds_tpu/ops/remap.py``) is applied when ``decode_label_colors=True``
+(the reference's ``in_getting_decoder``, ``gta5.py:51,66-70``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+
+from rtsds_tpu.data.indexing import Sample
+
+
+def decode_image(path: str, size: tuple[int, int] | None = None,
+                 antialias: bool = True) -> np.ndarray:
+    """PNG -> HWC uint8 RGB, optionally resized to (H, W) on host.
+
+    PIL's BILINEAR filter is an antialiased triangle resample, matching the
+    intent of ``transforms.Resize(..., antialias=True)`` (``main.py:70``);
+    NEAREST is used when ``antialias=False`` resizing would not occur --
+    images always use BILINEAR.
+    """
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        if size is not None and (im.height, im.width) != size:
+            im = im.resize((size[1], size[0]), Image.BILINEAR)
+        return np.asarray(im, dtype=np.uint8)
+
+
+def decode_label(path: str, size: tuple[int, int] | None = None,
+                 rgb: bool = False) -> np.ndarray:
+    """PNG -> HW (int32) trainId map, or HWC uint8 when ``rgb=True``.
+
+    Labels resize with NEAREST to preserve ids (the reference's bilinear
+    label resize is a catalogued bug, SURVEY.md §7).
+    """
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB") if rgb else im.convert("L" if im.mode not in ("I", "I;16") else im.mode)
+        if size is not None and (im.height, im.width) != size:
+            im = im.resize((size[1], size[0]), Image.NEAREST)
+        arr = np.asarray(im)
+    if rgb:
+        return arr.astype(np.uint8)
+    return arr.astype(np.int32)
+
+
+class SegmentationDataset:
+    """Index + decode policy -> random-access (image, label) numpy pairs."""
+
+    def __init__(self, samples: Sequence[Sample], image_size: tuple[int, int],
+                 decode_label_colors: bool = False):
+        self.samples = list(samples)
+        self.image_size = tuple(image_size)
+        self.decode_label_colors = decode_label_colors
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        s = self.samples[idx]
+        image = decode_image(s.image, self.image_size)
+        if self.decode_label_colors:
+            rgb = decode_label(s.label, self.image_size, rgb=True)
+            from rtsds_tpu.ops.remap import rgb_to_train_ids
+
+            label = np.asarray(rgb_to_train_ids(rgb))
+        else:
+            label = decode_label(s.label, self.image_size)
+        return image, label
+
+
+class DataLoader:
+    """Shuffling, batching, threaded-prefetch loader.
+
+    Yields host numpy batches ``(images NHWC uint8, labels NHW int32)``.
+    ``infinite=True`` provides the DA loops' resample-forever discipline
+    (replacing the reference's per-step ``next(iter(loader))`` worker churn,
+    ``train.py:184-185``).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 4, seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 2, infinite: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.infinite = infinite
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batch_indices(self) -> Iterator[np.ndarray]:
+        n = len(self.dataset)
+        while True:
+            order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+            stop = n - (n % self.batch_size) if self.drop_last else n
+            if stop == 0 and not self.drop_last:
+                stop = n
+            for i in range(0, stop, self.batch_size):
+                yield order[i:i + self.batch_size]
+            if not self.infinite:
+                return
+
+    def _load_batch(self, pool: ThreadPoolExecutor, idxs: np.ndarray):
+        pairs = list(pool.map(self.dataset.__getitem__, idxs))
+        images = np.stack([p[0] for p in pairs])
+        labels = np.stack([p[1] for p in pairs])
+        return images, labels
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                try:
+                    for idxs in self._batch_indices():
+                        if stop.is_set():
+                            return
+                        q.put(self._load_batch(pool, idxs))
+                finally:
+                    q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while thread.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+def device_iterator(loader, transform, key=None, sharding=None,
+                    augment: bool = False):
+    """Wrap a host loader: device_put (with optional NamedSharding) ->
+    fused preprocess transform.  Yields device (images, labels)."""
+    import jax
+
+    for i, (images, labels) in enumerate(loader):
+        if sharding is not None:
+            images = jax.device_put(images, sharding)
+            labels = jax.device_put(labels, sharding)
+        if augment and key is not None:
+            step_key = jax.random.fold_in(key, i)
+            yield transform(images, labels, step_key)
+        else:
+            yield transform(images, labels)

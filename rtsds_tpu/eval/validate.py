@@ -1,0 +1,102 @@
+"""Validation: jitted eval step with on-device confusion matrix.
+
+Capability parity with ``validation.py``: ``val`` (``validation.py:12-77``)
+and ``val_GTA5`` (``validation.py:79-149``) accumulate a 19x19 confusion
+matrix over the loader, report mIoU (nanmean of per-class IoU) and -- for
+the GTA5 variant -- a per-class IoU table forwarded to callbacks.
+
+TPU-first: the reference copies every batch to host and runs numpy bincount
+(``validation.py:54,120-124``); here argmax + hist-update run inside one jit
+program and the matrix stays device-resident until the epoch ends (one
+device->host transfer per validation).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtsds_tpu.utils.metrics import fast_hist, mean_iou, per_class_iou
+
+
+def make_eval_step(apply_fn: Callable, num_classes: int):
+    """Returns ``eval_step(variables, images, labels, hist) -> hist``.
+
+    ``hist`` is carried as a device array; the argmax, masking and
+    scatter-add all fuse into the forward program.
+    """
+
+    @jax.jit
+    def eval_step(variables, images, labels, hist):
+        outputs = apply_fn(variables, images, train=False)
+        if isinstance(outputs, (tuple, list)):
+            outputs = outputs[0]
+        preds = jnp.argmax(outputs, axis=-1)
+        return hist + fast_hist(labels, preds, num_classes)
+
+    return eval_step
+
+
+def validate(state, val_iter: Iterable, num_classes: int,
+             class_names: list[str] | None = None, epoch: int = 0,
+             callbacks: list | None = None, detailed_report: bool = False,
+             eval_step=None):
+    """Run validation over an iterator of (images, labels) device batches.
+
+    Returns ``(mean_iou, per_class)`` where ``per_class`` is a list of
+    ``(class_name, iou)`` (the reference's DataFrame, ``validation.py:141``).
+    Per-batch callbacks receive ``loss = 1 - running_pixel_accuracy``
+    (``validation.py:57-62``).
+    """
+    callbacks = callbacks or []
+    for cb in callbacks:
+        cb.on_validation_begin()
+
+    if eval_step is None:
+        eval_step = make_eval_step(state.apply_fn, num_classes)
+    variables = state.variables if hasattr(state, "variables") else state
+
+    hist = jnp.zeros((num_classes, num_classes), dtype=jnp.int32)
+    for batch_idx, (images, labels) in enumerate(val_iter):
+        hist = eval_step(variables, images, labels, hist)
+        if callbacks:
+            h = np.asarray(hist)
+            total = h.sum()
+            pixel_acc = (np.trace(h) / total) if total else 0.0
+            for cb in callbacks:
+                cb.on_validation_batch_end(batch_idx, 1.0 - pixel_acc)
+
+    hist_np = np.asarray(hist)
+    ious = np.asarray(per_class_iou(hist_np))
+    miou = float(np.nanmean(ious))
+    print(f"Validation mIoU for Epoch {epoch + 1}: {miou:.4f}")
+
+    per_class = None
+    if class_names is not None:
+        per_class = list(zip(class_names, [float(i) for i in ious]))
+        if detailed_report:
+            for name, iou in per_class:
+                print(f"  {name:<15} {iou:.4f}")
+
+    for cb in callbacks:
+        cb.on_validation_end({"validation_mIoU": miou}, data=per_class)
+    return miou, per_class
+
+
+def val(epoch, state, val_iter, num_classes, callbacks=None, eval_step=None):
+    """Reference-shaped entry point (``validation.py:12-77``)."""
+    miou, _ = validate(state, val_iter, num_classes, epoch=epoch,
+                       callbacks=callbacks, eval_step=eval_step)
+    return miou
+
+
+def val_GTA5(epoch, state, val_iter, num_classes, class_names,
+             callbacks=None, eval_step=None):
+    """Reference-shaped entry point with the per-class report
+    (``validation.py:79-149``)."""
+    return validate(state, val_iter, num_classes, class_names=class_names,
+                    epoch=epoch, callbacks=callbacks, detailed_report=True,
+                    eval_step=eval_step)

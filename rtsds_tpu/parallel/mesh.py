@@ -1,0 +1,68 @@
+"""Device mesh + sharding: the TPU-native replacement for the reference's
+entire distributed stack (a single ``nn.DataParallel`` wrap,
+``utils.py:97-107``).
+
+Design (SURVEY.md §2.3/§5.8): a 1-D ``jax.sharding.Mesh`` over all chips
+with a ``data`` axis; batches are sharded over ``data``, params/optimizer
+state are replicated.  Train steps are ordinary ``jax.jit`` programs --
+XLA's sharding propagation inserts the gradient all-reduce (psum over ICI)
+and cross-replica BatchNorm reductions automatically, overlapping them with
+the backward pass.  Multi-host extends the same mesh via
+``jax.distributed.initialize`` (DCN between slices); nothing in the step
+function changes.
+
+Note on BatchNorm: because batch stats are computed under the global batch
+sharding, BN is effectively *synchronized* across devices (the reference's
+DataParallel keeps per-replica stats and never syncs them -- sync-BN is the
+strictly better behavior, documented as a deliberate deviation).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), axis_names=(axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension across the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """device_put a (possibly nested) batch with batch-dim sharding."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_state(state, mesh: Mesh):
+    """Replicate a TrainState (params/opt state/batch stats) over the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
+        state)
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None):
+    """Multi-slice / multi-host entry (``jax.distributed.initialize``).
+
+    On Cloud TPU the arguments are auto-detected from the metadata server;
+    pass them explicitly elsewhere.  After this, ``jax.devices()`` spans the
+    full job and :func:`make_mesh` lays the data axis across ICI + DCN.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)

@@ -1,0 +1,192 @@
+"""Adversarial domain-adaptation step: generator + discriminator updates
+fused into ONE jit program.
+
+Reference semantics (Tsai et al. CVPR'18 single-level adversarial DA,
+``train.py:130-319``): per iteration, the generator takes a segmentation CE
+step on source (GTA5) plus a lambda-weighted BCE adversarial step pushing
+D(softmax(G(target))) toward the *source* label; the discriminator then
+trains on both (detached) softmax maps with source=1 / target=0.  The
+freeze/unfreeze + detach dance (``train.py:192-193,238-243``) becomes
+``jax.grad`` w.r.t. each network's own params plus ``stop_gradient`` on the
+features fed to D -- structurally leak-free (verified by unit test).
+
+Both loops' loss scalings are preserved: v1 divides every loss by
+``iterations`` before backward (``train.py:211,232,250,261``); v2 uses
+unnormalized losses with the lambda schedule
+``max(lambda, 10*lambda - 0.001*epoch)`` (``train.py:416``).
+
+v2 differences implemented faithfully (docstring ``train.py:330-342``):
+D sees the *updated* generator's outputs (G steps first, outputs are
+recomputed, ``train.py:421,432-445``), spatial sizes are unified to the
+target image size with exact adaptive average pooling (``train.py:410``),
+and the G adversarial target is the *fake/source* label 0 under v2's
+real=target convention (``train.py:411-412``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rtsds_tpu.ops.losses import bce_with_logits, segmentation_loss
+from rtsds_tpu.ops.pool import adaptive_avg_pool2d
+from rtsds_tpu.utils.schedules import lambda_adv_schedule
+
+
+def _apply_gen(state, params, batch_stats, images):
+    """One generator forward in train mode; returns (main, aux1, aux2, bs)."""
+    variables = {"params": params}
+    mutable = []
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"]
+    outputs, new_state = state.apply_fn(variables, images, train=True,
+                                        mutable=mutable)
+    new_bs = new_state.get("batch_stats") if new_state else batch_stats
+    if isinstance(outputs, (tuple, list)):
+        return outputs, new_bs
+    return (outputs, None, None), new_bs
+
+
+def make_adversarial_step(lambda_: float, iterations: int, epochs: int,
+                          ignore_index: int | None = 19,
+                          variant: str = "v1", donate: bool = True):
+    """Build the fused G/D step.
+
+    Signature: ``step(gen_state, dis_state, src_images, src_labels,
+    tgt_images) -> (gen_state, dis_state, metrics)``.  Source and target
+    batches may have different spatial sizes (720x1280 vs 512x1024), as in
+    the reference's dataloaders.
+    """
+    if variant == "v1":
+        step = _make_v1_step(lambda_, iterations, ignore_index)
+    elif variant == "v2":
+        step = _make_v2_step(lambda_, iterations, ignore_index)
+    else:
+        raise ValueError(f"unknown adversarial variant {variant!r}")
+    if donate:
+        return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step)
+
+
+def _make_v1_step(lambda_: float, iterations: int, ignore_index):
+    inv_iters = 1.0 / float(iterations)
+
+    def step(gen_state, dis_state, src_images, src_labels, tgt_images):
+        # ---- generator update (train.py:195-234) -------------------------
+        def gen_loss_fn(gen_params):
+            src_out, bs1 = _apply_gen(gen_state, gen_params,
+                                      gen_state.batch_stats, src_images)
+            seg_loss = segmentation_loss(src_out, src_labels,
+                                         ignore_index) * inv_iters
+            tgt_out, bs2 = _apply_gen(gen_state, gen_params, bs1, tgt_images)
+            tgt_main = tgt_out[0]
+            # D params are captured constants here: gradients flow *through*
+            # D into G but never update D (the freeze of train.py:192-193)
+            d_tgt = dis_state.apply_fn({"params": dis_state.params},
+                                       jax.nn.softmax(tgt_main, axis=-1))
+            adv_loss = lambda_ * bce_with_logits(d_tgt, 1.0) * inv_iters
+            aux = (bs2, src_out[0], tgt_main, seg_loss, adv_loss)
+            return seg_loss + adv_loss, aux
+
+        grads_fn = jax.value_and_grad(gen_loss_fn, has_aux=True)
+        (_, (new_bs, src_main, tgt_main, seg_loss, adv_loss)), gen_grads = \
+            grads_fn(gen_state.params)
+        gen_state = gen_state.apply_gradients(grads=gen_grads,
+                                              batch_stats=new_bs)
+
+        # ---- discriminator update (train.py:236-264) ----------------------
+        src_feat = jax.nn.softmax(jax.lax.stop_gradient(src_main), axis=-1)
+        tgt_feat = jax.nn.softmax(jax.lax.stop_gradient(tgt_main), axis=-1)
+
+        def dis_loss_fn(dis_params):
+            d_src = dis_state.apply_fn({"params": dis_params}, src_feat)
+            d_tgt = dis_state.apply_fn({"params": dis_params}, tgt_feat)
+            loss_src = bce_with_logits(d_src, 1.0) * inv_iters
+            loss_tgt = bce_with_logits(d_tgt, 0.0) * inv_iters
+            return loss_src + loss_tgt, (loss_src, loss_tgt)
+
+        (_, (loss_dis_src, loss_dis_tgt)), dis_grads = jax.value_and_grad(
+            dis_loss_fn, has_aux=True)(dis_state.params)
+        dis_state = dis_state.apply_gradients(grads=dis_grads)
+
+        preds = jnp.argmax(src_main, axis=-1)
+        metrics = {
+            "loss_gen_source": seg_loss,
+            "loss_adversarial": adv_loss,
+            "loss_disc_source": loss_dis_src,
+            "loss_disc_target": loss_dis_tgt,
+            "correct": jnp.sum(preds == src_labels),
+            "total": jnp.asarray(src_labels.size, jnp.int32),
+        }
+        return gen_state, dis_state, metrics
+
+    return step
+
+
+def _make_v2_step(lambda_: float, iterations: int, ignore_index):
+    lam_sched = lambda_adv_schedule(lambda_, iterations)
+
+    def step(gen_state, dis_state, src_images, src_labels, tgt_images):
+        tgt_size = (tgt_images.shape[1], tgt_images.shape[2])
+        lam = lam_sched(gen_state.step)
+
+        # ---- generator update (train.py:378-421) --------------------------
+        def gen_loss_fn(gen_params):
+            src_out, bs1 = _apply_gen(gen_state, gen_params,
+                                      gen_state.batch_stats, src_images)
+            seg_loss = segmentation_loss(src_out, src_labels, ignore_index)
+            tgt_out, bs2 = _apply_gen(gen_state, gen_params, bs1, tgt_images)
+            real_seg = adaptive_avg_pool2d(tgt_out[0], tgt_size)
+            d_real = dis_state.apply_fn({"params": dis_state.params},
+                                        jax.nn.softmax(real_seg, axis=-1))
+            # v2 convention: target=real=1, source=fake=0; G pushes target
+            # toward the fake/source label (train.py:411-412)
+            loss_adv = bce_with_logits(d_real, 0.0)
+            total = seg_loss + lam * loss_adv
+            return total, (bs2, src_out[0], seg_loss, loss_adv, total)
+
+        (_, (new_bs, src_main, seg_loss, loss_adv, g_total)), gen_grads = \
+            jax.value_and_grad(gen_loss_fn, has_aux=True)(gen_state.params)
+        gen_state = gen_state.apply_gradients(grads=gen_grads,
+                                              batch_stats=new_bs)
+
+        # ---- discriminator update on the UPDATED generator ----------------
+        # (reference recomputes both forwards after G steps, train.py:432-445;
+        # in train mode under no_grad, so batch stats advance again)
+        fake_out, bs3 = _apply_gen(gen_state, jax.lax.stop_gradient(
+            gen_state.params), gen_state.batch_stats, src_images)
+        real_out, bs4 = _apply_gen(gen_state, jax.lax.stop_gradient(
+            gen_state.params), bs3, tgt_images)
+        gen_state = gen_state.replace(batch_stats=bs4)
+        fake_seg = jax.nn.softmax(adaptive_avg_pool2d(
+            jax.lax.stop_gradient(fake_out[0]), tgt_size), axis=-1)
+        real_seg = jax.nn.softmax(adaptive_avg_pool2d(
+            jax.lax.stop_gradient(real_out[0]), tgt_size), axis=-1)
+
+        def dis_loss_fn(dis_params):
+            d_real = dis_state.apply_fn({"params": dis_params}, real_seg)
+            d_fake = dis_state.apply_fn({"params": dis_params}, fake_seg)
+            d_real_loss = bce_with_logits(d_real, 1.0)
+            d_fake_loss = bce_with_logits(d_fake, 0.0)
+            return d_real_loss + d_fake_loss, (d_real_loss, d_fake_loss)
+
+        (d_total, (d_real_loss, d_fake_loss)), dis_grads = jax.value_and_grad(
+            dis_loss_fn, has_aux=True)(dis_state.params)
+        dis_state = dis_state.apply_gradients(grads=dis_grads)
+
+        preds = jnp.argmax(src_main, axis=-1)
+        metrics = {
+            "loss_gen_source": seg_loss,
+            "loss_adversarial": loss_adv,
+            "loss_gen_total": g_total,
+            "loss_disc_source": d_fake_loss,
+            "loss_disc_target": d_real_loss,
+            "loss_disc_total": d_total,
+            "lambda_adv": lam,
+            "correct": jnp.sum(preds == src_labels),
+            "total": jnp.asarray(src_labels.size, jnp.int32),
+        }
+        return gen_state, dis_state, metrics
+
+    return step

@@ -1,0 +1,186 @@
+"""Training loops: supervised epochs and the adversarial DA loop.
+
+Orchestration parity with the reference loops (``train.py:24-128`` and
+``train.py:130-319``): per-batch/epoch callback fan-out with the same log
+keys, epoch summary tables, validation every ``do_validation`` epochs via
+the per-class reporter, and checkpoint-on-best -- with the reference's
+``best_mIoU`` per-epoch-reset bug fixed (tracking is cross-epoch here;
+``train.py:162``, SURVEY.md §7).
+
+TPU-first mechanics: the loop never blocks on step metrics -- it logs the
+*previous* step's (already materialized) scalars while the current step
+runs, keeping the device queue full.  All compute is inside the fused jit
+steps; the loop is pure orchestration.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable
+
+import numpy as np
+
+from rtsds_tpu.eval.validate import make_eval_step, validate
+from rtsds_tpu.utils.tabular import tabular_print
+
+
+def _fan_out(callbacks, method: str, *args, **kwargs):
+    for cb in callbacks or []:
+        getattr(cb, method)(*args, **kwargs)
+
+
+def train_epoch(state, train_step, batches: Iterable, epoch: int,
+                callbacks=None, log_every: int = 1):
+    """One supervised epoch (``train.py:24-128``).
+
+    ``batches`` yields device-ready (images, labels).  Returns
+    (state, {'train_loss', 'train_accuracy'}).
+    """
+    _fan_out(callbacks, "on_train_begin")
+    running_loss = 0.0
+    correct = 0
+    total = 0
+    pending = None  # (batch_idx, metrics) from the previous step
+    n_batches = 0
+
+    def consume(item):
+        nonlocal running_loss, correct, total
+        batch_idx, metrics = item
+        loss = float(metrics["train_loss"])
+        running_loss += loss
+        correct += int(metrics["correct"])
+        total += int(metrics["total"])
+        _fan_out(callbacks, "on_batch_end", batch_idx, {
+            "train_loss": loss,
+            "train_accuracy": 100.0 * correct / max(total, 1),
+        })
+
+    for batch_idx, (images, labels) in enumerate(batches):
+        state, metrics = train_step(state, images, labels)
+        n_batches += 1
+        if pending is not None:
+            consume(pending)
+        pending = (batch_idx, metrics)
+    if pending is not None:
+        consume(pending)
+
+    train_loss = running_loss / max(n_batches, 1)
+    train_accuracy = 100.0 * correct / max(total, 1)
+    print(f"Train Epoch: {epoch + 1} Loss: {train_loss:.6f} "
+          f"Acc: {train_accuracy:.2f}%")
+    _fan_out(callbacks, "on_epoch_end", epoch, {
+        "train_loss": train_loss, "train_accuracy": train_accuracy})
+    return state, {"train_loss": train_loss, "train_accuracy": train_accuracy}
+
+
+def supervised_fit(state, train_step, make_train_batches: Callable,
+                   make_val_batches: Callable, epochs: int, num_classes: int,
+                   class_names=None, callbacks=None, do_validation: int = 1,
+                   checkpoint=None):
+    """Full supervised run: epochs x (train_epoch + val) (``main.py:349-374``)."""
+    callbacks = callbacks or []
+    if checkpoint is not None:
+        checkpoint.attach(lambda: {"model": state})
+        if checkpoint not in callbacks:
+            callbacks = [*callbacks, checkpoint]
+    eval_step = make_eval_step(state.apply_fn, num_classes)
+    history = []
+    for epoch in range(epochs):
+        if checkpoint is not None:
+            checkpoint.attach(lambda: {"model": state})
+        state, train_logs = train_epoch(state, train_step,
+                                        make_train_batches(epoch), epoch,
+                                        callbacks)
+        if do_validation and epoch % do_validation == 0:
+            miou, per_class = validate(
+                state, make_val_batches(epoch), num_classes,
+                class_names=class_names, epoch=epoch, callbacks=callbacks,
+                detailed_report=class_names is not None, eval_step=eval_step)
+            history.append({"epoch": epoch, **train_logs,
+                            "validation_mIoU": miou})
+        if any(getattr(cb, "should_stop", False) for cb in callbacks):
+            break
+    _fan_out(callbacks, "on_train_end")
+    return state, history
+
+
+def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
+                    make_val_batches: Callable, iterations: int, epochs: int,
+                    num_classes: int, class_names=None, callbacks=None,
+                    do_validation: int = 1, checkpoint=None,
+                    variant: str = "v1"):
+    """Adversarial DA loop (``train.py:130-319`` / ``:322-500``).
+
+    ``source_iter`` / ``target_iter`` are infinite device-batch iterators
+    (GTA5 / Cityscapes).  Per epoch: ``iterations`` fused G/D steps, the
+    epoch summary table, per-class validation, checkpoint-on-best of both
+    networks (cross-epoch best).
+    """
+    callbacks = callbacks or []
+    if checkpoint is not None:
+        if checkpoint not in callbacks:
+            callbacks = [*callbacks, checkpoint]
+    eval_step = make_eval_step(gen_state.apply_fn, num_classes)
+    loss_keys = ["loss_gen_source", "loss_adversarial",
+                 "loss_disc_source", "loss_disc_target"]
+    history = []
+
+    for epoch in range(epochs):
+        _fan_out(callbacks, "on_train_begin")
+        if checkpoint is not None:
+            checkpoint.set_epoch = getattr(checkpoint, "set_epoch", None)
+            checkpoint._epoch = epoch
+            checkpoint.attach(lambda: {"generator": gen_state,
+                                       "discriminator": dis_state})
+        running = {k: 0.0 for k in loss_keys}
+        correct = 0
+        total = 0
+        pending = None
+        t0 = time.perf_counter()
+
+        def consume(item):
+            nonlocal correct, total
+            i, metrics = item
+            logs = {}
+            for k in loss_keys:
+                if k in metrics:
+                    v = float(metrics[k])
+                    running[k] += v
+                    logs[k] = v
+            correct += int(metrics["correct"])
+            total += int(metrics["total"])
+            _fan_out(callbacks, "on_batch_end", i, logs)
+
+        for i in range(iterations):
+            src_images, src_labels = next(source_iter)
+            tgt_images, _ = next(target_iter)
+            gen_state, dis_state, metrics = da_step(
+                gen_state, dis_state, src_images, src_labels, tgt_images)
+            if pending is not None:
+                consume(pending)
+            pending = (i, metrics)
+        if pending is not None:
+            consume(pending)
+
+        dt = time.perf_counter() - t0
+        summary = {k: running[k] / iterations for k in loss_keys}
+        summary["Generator Accuracy"] = 100.0 * correct / max(total, 1)
+        summary["steps_per_sec"] = iterations / dt
+        print(f"Epoch Results {epoch}")
+        tabular_print(summary)
+        _fan_out(callbacks, "on_epoch_end", epoch, summary)
+
+        if do_validation and epoch % do_validation == 0:
+            print("-" * 50, "Validation", "-" * 50)
+            miou, per_class = validate(
+                gen_state, make_val_batches(epoch), num_classes,
+                class_names=class_names, epoch=epoch, callbacks=callbacks,
+                detailed_report=True, eval_step=eval_step)
+            print("-" * 100)
+            history.append({"epoch": epoch, **summary,
+                            "validation_mIoU": miou})
+        if any(getattr(cb, "should_stop", False) for cb in callbacks):
+            break
+
+    _fan_out(callbacks, "on_train_end")
+    return gen_state, dis_state, history

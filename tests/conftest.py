@@ -7,7 +7,12 @@ before the first jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (not setdefault): the ambient environment may export
+# JAX_PLATFORMS=<tpu-plugin>; unit tests must run on the virtual-device CPU
+# backend.  Prefer invoking as `PYTHONPATH= python -m pytest tests/` so the
+# TPU plugin's sitecustomize registration (which claims the chip) is skipped
+# entirely.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
