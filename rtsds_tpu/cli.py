@@ -177,7 +177,9 @@ def main(argv=None):
     from rtsds_tpu.train.factory import build_adversarial, build_supervised
     from rtsds_tpu.train.loop import adversarial_fit, supervised_fit
 
-    mesh = make_mesh()
+    batch_size = int(config.data["cityscapes"]["batch_size"])
+    mesh = make_mesh(batch_size=min(
+        batch_size, int(config.data["gta5_modified"]["batch_size"])))
     data = datasets_loader(config, is_augmented=args.augmented,
                            synthetic=args.synthetic, seed=args.seed)
     callbacks, checkpoint = build_callbacks(config, args.wandb)

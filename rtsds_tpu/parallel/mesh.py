@@ -24,10 +24,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
-    """1-D data-parallel mesh over the given (default: all) devices."""
+def make_mesh(devices=None, axis_name: str = "data",
+              batch_size: int | None = None) -> Mesh:
+    """1-D data-parallel mesh over the given (default: all) devices.
+
+    When ``batch_size`` is given, the mesh is trimmed to the largest device
+    count that divides it (a global batch must shard evenly; for full
+    scale-out set batch_size to a multiple of the chip count).
+    """
     if devices is None:
         devices = jax.devices()
+    devices = list(devices)
+    if batch_size is not None:
+        n = len(devices)
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+        devices = devices[:n]
     return Mesh(np.asarray(devices), axis_names=(axis_name,))
 
 

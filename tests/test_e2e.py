@@ -1,0 +1,108 @@
+"""End-to-end smoke: tiny supervised + adversarial runs through the real
+wiring (config -> data -> factory -> fused steps -> validation -> callbacks
+-> checkpoint), on synthetic data (SURVEY.md §4 test plan)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from rtsds_tpu.callbacks.base import Callback
+
+
+class RecorderCallback(Callback):
+    def __init__(self):
+        self.batch_logs = []
+        self.epoch_logs = []
+        self.val_logs = []
+        self.train_ended = False
+
+    def on_batch_end(self, batch, logs=None):
+        self.batch_logs.append(logs)
+
+    def on_epoch_end(self, epoch, logs=None):
+        self.epoch_logs.append(logs)
+
+    def on_validation_end(self, logs=None, data=None):
+        self.val_logs.append((logs, data))
+
+    def on_train_end(self, logs=None):
+        self.train_ended = True
+
+
+def _tiny_config(tmp_path, epochs=1, iterations=2):
+    cfg = {
+        "data": {
+            "cityscapes": {"image_size": "32, 64", "batch_size": 2,
+                           "num_workers": 2},
+            "gta5_modified": {"image_size": "40, 72", "batch_size": 2,
+                              "num_workers": 2},
+        },
+        "training": {
+            "segmentation": {"epochs": epochs, "do_validation": 1},
+            "domain_adaptation": {"epochs": epochs, "iterations": iterations,
+                                  "do_validation": 1},
+        },
+        "callbacks": {
+            "model_checkpoint": {
+                "save_dir": str(tmp_path / "ckpt"), "save_name": "model",
+                "save_best": True, "monitor": "validation_mIoU",
+                "mode": "max", "save_freq": 1},
+            "early_stopping": {"monitor": "validation_mIoU", "mode": "max",
+                               "patience": 50},
+        },
+    }
+    path = tmp_path / "config.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    return str(path)
+
+
+@pytest.mark.slow
+def test_supervised_smoke(tmp_path, monkeypatch):
+    from rtsds_tpu import cli
+
+    cfg_path = _tiny_config(tmp_path)
+    recorder = RecorderCallback()
+    orig = cli.build_callbacks
+
+    def patched(config, use_wandb):
+        callbacks, checkpoint = orig(config, use_wandb)
+        return [*callbacks, recorder], checkpoint
+
+    monkeypatch.setattr(cli, "build_callbacks", patched)
+    cli.main(["--config", cfg_path, "--synthetic", "--model", "bisenet"])
+
+    assert recorder.train_ended
+    assert recorder.batch_logs and "train_loss" in recorder.batch_logs[0]
+    assert recorder.val_logs
+    miou = recorder.val_logs[-1][0]["validation_mIoU"]
+    assert 0.0 <= miou <= 1.0
+    # checkpoint actually written (the declared-but-unimplemented
+    # config.yaml:128-134 schema, now real)
+    assert os.path.isdir(os.path.join(str(tmp_path / "ckpt"), "model"))
+
+
+@pytest.mark.slow
+def test_adversarial_smoke(tmp_path, monkeypatch):
+    from rtsds_tpu import cli
+
+    cfg_path = _tiny_config(tmp_path)
+    recorder = RecorderCallback()
+    orig = cli.build_callbacks
+
+    def patched(config, use_wandb):
+        callbacks, checkpoint = orig(config, use_wandb)
+        return [*callbacks, recorder], checkpoint
+
+    monkeypatch.setattr(cli, "build_callbacks", patched)
+    cli.main(["--config", cfg_path, "--synthetic", "--domain_adaptation",
+              "--augmented"])
+
+    assert recorder.train_ended
+    keys = set(recorder.batch_logs[0].keys())
+    assert {"loss_gen_source", "loss_adversarial", "loss_disc_source",
+            "loss_disc_target"} <= keys
+    assert all(np.isfinite(list(logs.values())).all()
+               for logs in recorder.batch_logs)
+    assert recorder.val_logs
