@@ -1,0 +1,106 @@
+"""Latency / FPS harness for real-time inference.
+
+Replaces the reference's wall-clock loop (``utils.py:109-134``, spec
+``README.md:157-177``) -- which has no warmup, no device synchronization
+and a crashing mean/std computation -- with an honest async-dispatch-aware
+harness: jit + warmup, ``block_until_ready`` fencing, p50/p95/p99
+percentiles, and per-chip FPS.  Input staging (device_put) happens outside
+the timed region, as a production serving loop would hold inputs
+device-resident.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def latency_benchmark(fn, args, iterations: int = 10, repeats: int = 5,
+                      warmup: int = 1, images_per_call: int = 1,
+                      chain_index: int | None = None) -> dict:
+    """Benchmark ``fn(*args)`` with tamper-proof device timing.
+
+    Async dispatch (and, on tunneled backends, unreliable
+    ``block_until_ready``) makes per-call host timing meaningless, so the
+    measured unit is a jit program that runs ``fn`` ``iterations`` times
+    with a scalar data dependency chained through the designated input
+    (``chain_index``: index into ``args`` of a float array; defaults to the
+    last array argument) and is fenced by a host scalar fetch.  Each of
+    ``repeats`` such programs yields one per-call latency sample;
+    percentiles are over repeats.
+    """
+    args = tuple(jax.tree_util.tree_map(
+        lambda x: jax.device_put(x) if hasattr(x, "shape") else x, args))
+    if chain_index is None:
+        chain_index = len(args) - 1
+
+    @partial(jax.jit, static_argnums=(1,))
+    def run_k(args, k):
+        def body(_, acc):
+            perturbed = list(args)
+            x = perturbed[chain_index]
+            perturbed[chain_index] = x + (acc * 1e-12).astype(x.dtype)
+            out = fn(*perturbed)
+            leaf = out[0] if isinstance(out, (tuple, list)) else out
+            return acc + leaf.reshape(-1)[0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    for _ in range(warmup):
+        float(run_k(args, iterations))  # compile + spin up
+
+    per_call_ms = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run_k(args, iterations))  # host fetch = hard fence
+        dt = time.perf_counter() - t0
+        per_call_ms.append(dt / iterations * 1000.0)
+    times_ms = np.asarray(per_call_ms)
+
+    mean_s = float(times_ms.mean()) / 1000.0
+    return {
+        "iterations": iterations,
+        "repeats": repeats,
+        "images_per_call": images_per_call,
+        "mean_ms": float(times_ms.mean()),
+        "std_ms": float(times_ms.std()),
+        "p50_ms": float(np.percentile(times_ms, 50)),
+        "p95_ms": float(np.percentile(times_ms, 95)),
+        "p99_ms": float(np.percentile(times_ms, 99)),
+        "fps": images_per_call / mean_s,
+    }
+
+
+def bisenet_inference_benchmark(image_size=(1024, 2048), batch_size: int = 1,
+                                context_path: str = "resnet18",
+                                dtype=jnp.bfloat16, iterations: int = 10,
+                                repeats: int = 5, warmup: int = 1,
+                                num_classes: int = 19) -> dict:
+    """The headline bench: BiSeNet eval forward at 1024x2048 (BASELINE.md).
+
+    bf16 compute on the MXU; logits come back f32.  Returns the
+    latency/FPS dict plus config echo.
+    """
+    from rtsds_tpu.models.bisenet import BiSeNet
+
+    model = BiSeNet(num_classes=num_classes, context_path=context_path,
+                    dtype=dtype)
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (batch_size, *image_size, 3), dtype=jnp.float32)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(key, x)
+
+    def forward(variables, x):
+        return model.apply(variables, x, train=False)
+
+    stats = latency_benchmark(forward, (variables, x), iterations=iterations,
+                              repeats=repeats, warmup=warmup,
+                              images_per_call=batch_size, chain_index=1)
+    stats.update({"model": f"bisenet-{context_path}",
+                  "image_size": list(image_size),
+                  "batch_size": batch_size,
+                  "dtype": str(dtype.__name__ if hasattr(dtype, '__name__')
+                               else dtype)})
+    return stats
