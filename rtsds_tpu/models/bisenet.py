@@ -101,6 +101,12 @@ class BiSeNet(nn.Module):
     num_classes: int = 19
     context_path: str = "resnet18"
     with_interpolation: bool = True
+    # Apply the final 1x1 conv BEFORE the 8x upsample.  A 1x1 conv is a
+    # per-pixel linear map and bilinear interpolation is a spatial linear
+    # map with unit weight sums, so conv(upsample(x)) == upsample(conv(x))
+    # exactly -- but the conv runs on 64x fewer pixels.  Set False for
+    # bit-exact operation ordering vs the reference graph.
+    fast_head: bool = True
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -137,9 +143,13 @@ class BiSeNet(nn.Module):
             name="ffm")(sx, cx, train)
 
         if self.with_interpolation:
-            result = upsample_bilinear(result, 8)
-            result = conv(self.num_classes, 1, kernel_init=kaiming_normal_relu,
-                          dtype=self.dtype, name="conv")(result)
+            final_conv = conv(self.num_classes, 1,
+                              kernel_init=kaiming_normal_relu,
+                              dtype=self.dtype, name="conv")
+            if self.fast_head:
+                result = upsample_bilinear(final_conv(result), 8)
+            else:
+                result = final_conv(upsample_bilinear(result, 8))
         result = result.astype(jnp.float32)
 
         if train:
