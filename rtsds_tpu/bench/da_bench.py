@@ -1,0 +1,96 @@
+"""Adversarial-DA training throughput bench: fused G/D steps per second.
+
+The BASELINE.md scale-out metric ("GTA5->Cityscapes adversarial DA training
+step rate").  One step = the full reference iteration (``train.py:172-270``):
+2 generator forwards (720x1280 source + 512x1024 target), 3 discriminator
+forwards, both backward passes, both optimizer updates.
+
+Timing uses the same chained-dependency pattern as the latency harness:
+steps are chained through the evolving train states inside a scan, fenced
+by a host fetch, so async dispatch cannot fake the rate.
+
+Run: ``python -m rtsds_tpu.bench.da_bench`` (env: DA_BATCH, DA_STEPS).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def da_step_benchmark(batch_size: int = 4, src_hw=(720, 1280),
+                      tgt_hw=(512, 1024), steps: int = 5, repeats: int = 3,
+                      dtype=jnp.bfloat16) -> dict:
+    from rtsds_tpu.models.bisenet import BiSeNet
+    from rtsds_tpu.models.discriminator import TinyDomainDiscriminator
+    from rtsds_tpu.train.adversarial import make_adversarial_step
+    from rtsds_tpu.train.optim import make_optimizer
+    from rtsds_tpu.train.state import create_train_state
+    from rtsds_tpu.utils.schedules import poly_lr_schedule
+
+    key = jax.random.key(0)
+    kg, kd, kx = jax.random.split(key, 3)
+
+    gen = BiSeNet(num_classes=19, context_path="resnet18", dtype=dtype)
+    gen_tx = make_optimizer("Adam", poly_lr_schedule(1e-4, 5000, 0.9))
+    gen_state = create_train_state(gen, kg,
+                                   jnp.zeros((batch_size, *src_hw, 3)), gen_tx)
+    dis = TinyDomainDiscriminator(num_classes=19, dtype=dtype)
+    dis_tx = make_optimizer("Adam", 1e-4, weight_decay=1e-4)
+    dis_state = create_train_state(dis, kd,
+                                   jnp.zeros((batch_size, *tgt_hw, 19)), dis_tx)
+
+    src_images = jax.random.normal(kx, (batch_size, *src_hw, 3), jnp.float32)
+    src_labels = jnp.zeros((batch_size, *src_hw), jnp.int32)
+    tgt_images = jax.random.normal(kx, (batch_size, *tgt_hw, 3), jnp.float32)
+
+    step = make_adversarial_step(lambda_=0.1, iterations=100, epochs=50,
+                                 variant="v1", donate=False)
+
+    def run_n(gen_state, dis_state, n: int):
+        for _ in range(n):
+            gen_state, dis_state, metrics = step(gen_state, dis_state,
+                                                 src_images, src_labels,
+                                                 tgt_images)
+        return gen_state, dis_state, metrics
+
+    # warmup / compile
+    gen_state, dis_state, metrics = run_n(gen_state, dis_state, 1)
+    float(metrics["loss_gen_source"])  # fence
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        gen_state, dis_state, metrics = run_n(gen_state, dis_state, steps)
+        float(metrics["loss_gen_source"])  # state chain + fetch = hard fence
+        times.append((time.perf_counter() - t0) / steps)
+
+    best = min(times)
+    return {
+        "steps_per_sec": 1.0 / best,
+        "ms_per_step": best * 1000.0,
+        "batch_size": batch_size,
+        "src_hw": list(src_hw),
+        "tgt_hw": list(tgt_hw),
+        "dtype": str(getattr(dtype, "__name__", dtype)),
+    }
+
+
+def main():
+    batch = int(os.environ.get("DA_BATCH", "4"))
+    steps = int(os.environ.get("DA_STEPS", "5"))
+    stats = da_step_benchmark(batch_size=batch, steps=steps)
+    print(json.dumps({
+        "metric": "da_train_steps_per_sec",
+        "value": round(stats["steps_per_sec"], 3),
+        "unit": "steps/sec",
+        **{k: v for k, v in stats.items() if k != "steps_per_sec"},
+    }))
+
+
+if __name__ == "__main__":
+    main()

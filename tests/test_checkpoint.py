@@ -1,0 +1,73 @@
+"""Orbax checkpoint round trip + best-k retention + early stopping
+(implements the config.yaml:128-139 schema the reference only declared)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from rtsds_tpu.callbacks.checkpoint import CheckpointManager, EarlyStopping, ModelCheckpoint
+from rtsds_tpu.train.optim import make_optimizer
+from rtsds_tpu.train.state import create_train_state
+
+
+class Tiny(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(4)(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        return x
+
+
+def _state(key, lr=0.1):
+    return create_train_state(Tiny(), key, jnp.zeros((2, 3)),
+                              make_optimizer("Adam", lr))
+
+
+def test_checkpoint_round_trip(tmp_path, key):
+    state = _state(key)
+    # advance so opt_state/step are non-trivial
+    grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+    state = state.apply_gradients(grads=grads)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    mgr.save(1, {"model": state}, monitor=0.5)
+
+    template = _state(jax.random.key(99))  # different init
+    restored = mgr.restore({"model": template})["model"]
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(restored.opt_state),
+                    jax.tree_util.tree_leaves(state.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_checkpoint_best_tracking(tmp_path, key):
+    state = _state(key)
+    cb = ModelCheckpoint(save_dir=str(tmp_path), save_name="m",
+                         save_best=True, monitor="validation_mIoU",
+                         mode="max")
+    cb.attach(lambda: {"model": state})
+    cb._epoch = 0
+    cb.on_validation_end({"validation_mIoU": 0.3})
+    cb._epoch = 1
+    cb.on_validation_end({"validation_mIoU": 0.2})  # worse: not saved
+    cb._epoch = 2
+    cb.on_validation_end({"validation_mIoU": 0.4})  # better: saved
+    assert cb.best == 0.4
+    assert cb.best_step == 2
+    assert cb.manager.best_step() == 2
+    cb.on_train_end()
+
+
+def test_early_stopping_patience():
+    es = EarlyStopping(monitor="validation_mIoU", mode="max", patience=2)
+    for v in (0.3, 0.4):
+        es.on_validation_end({"validation_mIoU": v})
+    assert not es.should_stop
+    es.on_validation_end({"validation_mIoU": 0.39})
+    es.on_validation_end({"validation_mIoU": 0.38})
+    assert es.should_stop
