@@ -39,9 +39,12 @@ def decode_image(path: str, size: tuple[int, int] | None = None,
 
     with Image.open(path) as im:
         im = im.convert("RGB")
-        if size is not None and (im.height, im.width) != size:
-            im = im.resize((size[1], size[0]), Image.BILINEAR)
-        return np.asarray(im, dtype=np.uint8)
+        arr = np.asarray(im, dtype=np.uint8)
+    if size is not None and arr.shape[:2] != tuple(size):
+        from rtsds_tpu.data import native
+
+        arr = native.resize_bilinear_aa(arr, tuple(size))
+    return arr
 
 
 def decode_label(path: str, size: tuple[int, int] | None = None,
@@ -55,12 +58,25 @@ def decode_label(path: str, size: tuple[int, int] | None = None,
 
     with Image.open(path) as im:
         im = im.convert("RGB") if rgb else im.convert("L" if im.mode not in ("I", "I;16") else im.mode)
-        if size is not None and (im.height, im.width) != size:
-            im = im.resize((size[1], size[0]), Image.NEAREST)
         arr = np.asarray(im)
     if rgb:
-        return arr.astype(np.uint8)
-    return arr.astype(np.int32)
+        arr = arr.astype(np.uint8)
+        if size is not None and arr.shape[:2] != tuple(size):
+            # nearest for RGB-coded labels too: interpolation would invent
+            # colors outside the 35-entry key table
+            from rtsds_tpu.data import native
+
+            h, w = arr.shape[:2]
+            rows = np.minimum((np.arange(size[0]) * h // size[0]), h - 1)
+            cols = np.minimum((np.arange(size[1]) * w // size[1]), w - 1)
+            arr = arr[rows][:, cols]
+        return arr
+    arr = arr.astype(np.int32)
+    if size is not None and arr.shape[:2] != tuple(size):
+        from rtsds_tpu.data import native
+
+        arr = native.resize_nearest(arr, tuple(size))
+    return arr
 
 
 class SegmentationDataset:
@@ -80,9 +96,9 @@ class SegmentationDataset:
         image = decode_image(s.image, self.image_size)
         if self.decode_label_colors:
             rgb = decode_label(s.label, self.image_size, rgb=True)
-            from rtsds_tpu.ops.remap import rgb_to_train_ids
+            from rtsds_tpu.data.native import rgb_to_train_ids
 
-            label = np.asarray(rgb_to_train_ids(rgb))
+            label = rgb_to_train_ids(rgb)
         else:
             label = decode_label(s.label, self.image_size)
         return image, label
