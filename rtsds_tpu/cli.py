@@ -114,6 +114,7 @@ def build_callbacks(config, use_wandb: bool):
     implemented config.yaml:127-149 schema, implemented here)."""
     from rtsds_tpu.callbacks import (
         EarlyStopping,
+        ImagePlotsCallback,
         ModelCheckpoint,
         WandBCallback,
     )
@@ -141,6 +142,11 @@ def build_callbacks(config, use_wandb: bool):
             monitor=es.get("monitor", "validation_mIoU"),
             mode=es.get("mode", "max"),
             patience=int(es.get("patience", 5))))
+    if "images_plots" in cb_cfg:
+        ip = cb_cfg["images_plots"]
+        callbacks.append(ImagePlotsCallback(
+            save_dir=ip.get("save_dir", "images"),
+            number_of_samples=int(ip.get("number_of_samples", 4))))
     return callbacks, checkpoint
 
 

@@ -22,8 +22,10 @@ import numpy as np
 from rtsds_tpu.utils.metrics import fast_hist, mean_iou, per_class_iou
 
 
-def make_eval_step(apply_fn: Callable, num_classes: int):
-    """Returns ``eval_step(variables, images, labels, hist) -> hist``.
+def make_eval_step(apply_fn: Callable, num_classes: int,
+                   return_preds: bool = False):
+    """Returns ``eval_step(variables, images, labels, hist) -> hist`` (or
+    ``(hist, preds)`` when ``return_preds``, for image-plot callbacks).
 
     ``hist`` is carried as a device array; the argmax, masking and
     scatter-add all fuse into the forward program.
@@ -35,7 +37,10 @@ def make_eval_step(apply_fn: Callable, num_classes: int):
         if isinstance(outputs, (tuple, list)):
             outputs = outputs[0]
         preds = jnp.argmax(outputs, axis=-1)
-        return hist + fast_hist(labels, preds, num_classes)
+        new_hist = hist + fast_hist(labels, preds, num_classes)
+        if return_preds:
+            return new_hist, preds
+        return new_hist
 
     return eval_step
 
@@ -55,13 +60,23 @@ def validate(state, val_iter: Iterable, num_classes: int,
     for cb in callbacks:
         cb.on_validation_begin()
 
+    plot_cbs = [cb for cb in callbacks if hasattr(cb, "add_sample")]
     if eval_step is None:
-        eval_step = make_eval_step(state.apply_fn, num_classes)
+        eval_step = make_eval_step(state.apply_fn, num_classes,
+                                   return_preds=bool(plot_cbs))
     variables = state.variables if hasattr(state, "variables") else state
 
     hist = jnp.zeros((num_classes, num_classes), dtype=jnp.int32)
     for batch_idx, (images, labels) in enumerate(val_iter):
-        hist = eval_step(variables, images, labels, hist)
+        result = eval_step(variables, images, labels, hist)
+        if isinstance(result, tuple):
+            hist, preds = result
+            for cb in plot_cbs:
+                cb.set_epoch(epoch)
+                cb.add_sample(np.asarray(images), np.asarray(labels),
+                              np.asarray(preds))
+        else:
+            hist = result
         if callbacks:
             h = np.asarray(hist)
             total = h.sum()
