@@ -1,0 +1,75 @@
+"""Factory layer: config -> models/optimizers/criteria (main.py:110-231
+parity), frozen-BN masking actually freezing DeepLab BN affine params."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtsds_tpu.config import default_config
+from rtsds_tpu.train.factory import build_adversarial, build_supervised
+from rtsds_tpu.train.supervised import make_train_step
+
+
+def test_build_supervised_bisenet(key):
+    cfg = default_config()
+    bundle = build_supervised(cfg, "bisenet", steps_per_epoch=10)
+    state = bundle.init_state(key, jnp.zeros((1, 32, 64, 3)))
+    assert state.batch_stats is not None
+    assert bundle.hparams["init_lr"] == 0.0001
+    out = state.apply_fn(state.variables, jnp.zeros((1, 32, 64, 3)),
+                         train=False)
+    assert out.shape == (1, 32, 64, 19)
+
+
+def test_build_supervised_deeplab_frozen_bn(key, rng):
+    cfg = default_config().replace(
+        model={"deeplab": {"num_classes": 19}})
+    bundle = build_supervised(cfg, "deeplab", steps_per_epoch=10)
+    # thin model for speed: override layers via a fresh module
+    from rtsds_tpu.models.deeplabv2 import DeepLabV2
+
+    bundle.model = DeepLabV2(num_classes=19, layers=(1, 1, 1, 1))
+    state = bundle.init_state(key, jnp.zeros((1, 33, 65, 3)))
+
+    step = make_train_step(ignore_index=19, donate=False)
+    images = jnp.asarray(rng.normal(size=(1, 33, 65, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 19, size=(1, 33, 65)))
+    before = state.params
+    state, _ = step(state, images, labels)
+    after = state.params
+
+    def flat(tree):
+        return {
+            "/".join(str(k.key) for k in path if hasattr(k, "key")): leaf
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    b, a = flat(before), flat(after)
+    bn_frozen = conv_moved = False
+    for name in b:
+        changed = not np.allclose(np.asarray(b[name]), np.asarray(a[name]))
+        if "bn" in name:
+            assert not changed, f"frozen BN param {name} moved"
+            bn_frozen = True
+        elif changed:
+            conv_moved = True
+    assert bn_frozen and conv_moved
+
+
+def test_build_adversarial(key):
+    cfg = default_config()
+    gen_bundle, dis_bundle = build_adversarial(cfg)
+    gen_state = gen_bundle.init_state(key, jnp.zeros((1, 40, 72, 3)))
+    dis_state = dis_bundle.init_state(key, jnp.zeros((1, 32, 64, 19)))
+    assert gen_bundle.hparams["gen_power"] == 0.9
+    assert dis_bundle.hparams["dis_power"] == 0.05
+    out = dis_state.apply_fn(dis_state.variables, jnp.zeros((1, 32, 64, 19)))
+    assert out.shape == (1, 1, 1, 1)
+
+
+def test_fc_discriminator_selectable(key):
+    cfg = default_config().replace(model={
+        "adversarial_model": {"discriminator": {"name": "fc"}}})
+    _, dis_bundle = build_adversarial(cfg)
+    from rtsds_tpu.models.discriminator import DomainDiscriminator
+
+    assert isinstance(dis_bundle.model, DomainDiscriminator)
