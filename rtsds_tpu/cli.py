@@ -236,7 +236,8 @@ def main(argv=None):
             val_batches, iterations=int(tcfg["iterations"]),
             epochs=int(tcfg["epochs"]), num_classes=int(tcfg["num_classes"]),
             class_names=class_names, callbacks=callbacks,
-            do_validation=int(tcfg["do_validation"]), checkpoint=checkpoint)
+            do_validation=int(tcfg["do_validation"]), checkpoint=checkpoint,
+            when_print=int(tcfg.get("when_print", -1)))
     else:
         if args.dataset == "gta5":
             print(" ------> Training on GTA5, validating on Cityscapes ------ ")

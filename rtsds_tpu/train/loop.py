@@ -108,7 +108,7 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
                     make_val_batches: Callable, iterations: int, epochs: int,
                     num_classes: int, class_names=None, callbacks=None,
                     do_validation: int = 1, checkpoint=None,
-                    variant: str = "v1"):
+                    variant: str = "v1", when_print: int = -1):
     """Adversarial DA loop (``train.py:130-319`` / ``:322-500``).
 
     ``source_iter`` / ``target_iter`` are infinite device-batch iterators
@@ -150,6 +150,11 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
             correct += int(metrics["correct"])
             total += int(metrics["total"])
             _fan_out(callbacks, "on_batch_end", i, logs)
+            # periodic console print (the config `when_print` knob the
+            # reference accepts but never uses, train.py:136)
+            if when_print > 0 and (i + 1) % when_print == 0:
+                print(f"  iter {i + 1}/{iterations}: " + ", ".join(
+                    f"{k}={v:.4f}" for k, v in logs.items()))
 
         for i in range(iterations):
             src_images, src_labels = next(source_iter)
