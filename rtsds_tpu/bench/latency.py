@@ -29,9 +29,14 @@ def latency_benchmark(fn, args, iterations: int = 10, repeats: int = 5,
     measured unit is a jit program that runs ``fn`` ``iterations`` times
     with a scalar data dependency chained through the designated input
     (``chain_index``: index into ``args`` of a float array; defaults to the
-    last array argument) and is fenced by a host scalar fetch.  Each of
-    ``repeats`` such programs yields one per-call latency sample;
-    percentiles are over repeats.
+    last array argument) and is fenced by a host scalar fetch.
+
+    Two defenses against compiler/runtime cheating:
+      * the chain consumes the FULL output (``sum``), so XLA cannot
+        dead-code-eliminate work feeding unread output elements;
+      * each sample is the SLOPE between a k-iteration and a 2k-iteration
+        program, cancelling the constant dispatch+fetch round trip (~30 ms
+        on tunneled backends).
     """
     args = tuple(jax.tree_util.tree_map(
         lambda x: jax.device_put(x) if hasattr(x, "shape") else x, args))
@@ -46,21 +51,26 @@ def latency_benchmark(fn, args, iterations: int = 10, repeats: int = 5,
             perturbed[chain_index] = x + (acc * 1e-12).astype(x.dtype)
             out = fn(*perturbed)
             leaf = out[0] if isinstance(out, (tuple, list)) else out
-            return acc + leaf.reshape(-1)[0].astype(jnp.float32)
+            # consume everything: no dead-code elimination of the output
+            return acc + jnp.sum(leaf).astype(jnp.float32) * 1e-20
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
     for _ in range(warmup):
-        float(run_k(args, iterations))  # compile + spin up
+        float(run_k(args, iterations))
+        float(run_k(args, 2 * iterations))  # compile both variants
 
     per_call_ms = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(run_k(args, iterations))  # host fetch = hard fence
-        dt = time.perf_counter() - t0
-        per_call_ms.append(dt / iterations * 1000.0)
+        float(run_k(args, iterations))
+        t1 = time.perf_counter()
+        float(run_k(args, 2 * iterations))
+        t2 = time.perf_counter()
+        slope = ((t2 - t1) - (t1 - t0)) / iterations
+        per_call_ms.append(max(slope, 0.0) * 1000.0)
     times_ms = np.asarray(per_call_ms)
 
-    mean_s = float(times_ms.mean()) / 1000.0
+    mean_s = max(float(times_ms.mean()) / 1000.0, 1e-9)
     return {
         "iterations": iterations,
         "repeats": repeats,
