@@ -40,10 +40,16 @@ def model_flops(model, input_shape, train: bool = False) -> dict:
 
     key = jax.random.key(0)
     x = jnp.zeros(input_shape, jnp.float32)
-    variables = model.init(key, x, train=train)
+    try:
+        variables = model.init(key, x, train=train)
 
-    def forward(variables, x):
-        return model.apply(variables, x, train=train)
+        def forward(variables, x):
+            return model.apply(variables, x, train=train)
+    except TypeError:  # modules without a train/eval distinction
+        variables = model.init(key, x)
+
+        def forward(variables, x):
+            return model.apply(variables, x)
 
     costs = cost_analysis(forward, variables, x)
     costs["parameters"] = count_parameters(variables["params"])

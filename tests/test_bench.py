@@ -1,0 +1,54 @@
+"""Benchmark harness smoke tests on CPU: structure, positivity, and the
+XLA cost-analysis FLOPs path (utils.py:138-144 replacement)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtsds_tpu.bench.flops import cost_analysis, count_parameters, model_flops
+from rtsds_tpu.bench.latency import latency_benchmark
+
+
+def test_latency_benchmark_structure():
+    w = jnp.ones((256, 256))
+
+    def fn(w, x):
+        return jnp.tanh(x @ w)
+
+    x = jnp.ones((64, 256))
+    stats = latency_benchmark(fn, (w, x), iterations=4, repeats=2, warmup=1,
+                              images_per_call=64, chain_index=1)
+    for k in ("mean_ms", "p50_ms", "p95_ms", "p99_ms", "fps"):
+        assert k in stats
+    assert stats["fps"] > 0
+    assert stats["p50_ms"] >= 0
+
+
+def test_cost_analysis_matmul_flops():
+    def fn(a, b):
+        return a @ b
+
+    a = jnp.ones((128, 64))
+    b = jnp.ones((64, 32))
+    costs = cost_analysis(fn, a, b)
+    # 2*M*N*K = 2*128*32*64 = 524288; XLA reports >= this
+    assert costs["flops"] >= 2 * 128 * 32 * 64 * 0.99
+
+
+def test_count_parameters(key):
+    from rtsds_tpu.models.discriminator import TinyDomainDiscriminator
+
+    model = TinyDomainDiscriminator(num_classes=19)
+    variables = model.init(key, jnp.zeros((1, 16, 16, 19)))
+    n = count_parameters(variables["params"])
+    # conv1: 4*4*19*64 + 64; classifier: 4*4*64*1 + 1
+    assert n == (4 * 4 * 19 * 64 + 64) + (4 * 4 * 64 + 1)
+
+
+def test_model_flops_smoke(key):
+    from rtsds_tpu.models.discriminator import TinyDomainDiscriminator
+
+    costs = model_flops(TinyDomainDiscriminator(num_classes=19),
+                        (1, 32, 64, 19))
+    assert costs["parameters"] > 0
+    assert np.isfinite(costs["flops"]) and costs["flops"] > 0
