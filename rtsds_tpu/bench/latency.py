@@ -88,11 +88,16 @@ def bisenet_inference_benchmark(image_size=(1024, 2048), batch_size: int = 1,
                                 context_path: str = "resnet18",
                                 dtype=jnp.bfloat16, iterations: int = 10,
                                 repeats: int = 5, warmup: int = 1,
-                                num_classes: int = 19) -> dict:
-    """The headline bench: BiSeNet eval forward at 1024x2048 (BASELINE.md).
+                                num_classes: int = 19,
+                                mode: str = "masks") -> dict:
+    """The headline bench: BiSeNet real-time inference at 1024x2048
+    (BASELINE.md).  bf16 compute on the MXU.
 
-    bf16 compute on the MXU; logits come back f32.  Returns the
-    latency/FPS dict plus config echo.
+    ``mode="masks"`` measures the serving path (forward + per-pixel argmax
+    -> int32 masks) -- what a real-time segmentation consumer reads, and a
+    nonlinearity the compiler cannot algebraically fold.  ``mode="logits"``
+    measures the raw forward (the reference harness's definition,
+    utils.py:118-120).
     """
     from rtsds_tpu.models.bisenet import BiSeNet
 
@@ -102,8 +107,13 @@ def bisenet_inference_benchmark(image_size=(1024, 2048), batch_size: int = 1,
     x = jax.random.normal(key, (batch_size, *image_size, 3), dtype=jnp.float32)
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(key, x)
 
-    def forward(variables, x):
-        return model.apply(variables, x, train=False)
+    if mode == "masks":
+        def forward(variables, x):
+            logits = model.apply(variables, x, train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        def forward(variables, x):
+            return model.apply(variables, x, train=False)
 
     stats = latency_benchmark(forward, (variables, x), iterations=iterations,
                               repeats=repeats, warmup=warmup,
@@ -111,6 +121,7 @@ def bisenet_inference_benchmark(image_size=(1024, 2048), batch_size: int = 1,
     stats.update({"model": f"bisenet-{context_path}",
                   "image_size": list(image_size),
                   "batch_size": batch_size,
+                  "mode": mode,
                   "dtype": str(dtype.__name__ if hasattr(dtype, '__name__')
                                else dtype)})
     return stats
