@@ -16,7 +16,6 @@ from __future__ import annotations
 import os
 from typing import Callable
 
-import jax
 import numpy as np
 
 from rtsds_tpu.callbacks.base import Callback

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rtsds_tpu.utils.metrics import fast_hist, mean_iou, per_class_iou
+from rtsds_tpu.utils.metrics import fast_hist, per_class_iou
 
 
 def make_eval_step(apply_fn: Callable, num_classes: int,

@@ -18,7 +18,7 @@ from __future__ import annotations
 import time
 from typing import Callable, Iterable
 
-import numpy as np
+
 
 from rtsds_tpu.eval.validate import make_eval_step, validate
 from rtsds_tpu.utils.tabular import tabular_print

@@ -4,7 +4,6 @@ non-strict merge into BiSeNet's context path."""
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from rtsds_tpu.models.pretrained import (
     convert_torch_state_dict,

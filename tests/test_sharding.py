@@ -5,7 +5,6 @@ SURVEY.md §2.3)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from flax import linen as nn
 
 from rtsds_tpu.parallel.mesh import (
