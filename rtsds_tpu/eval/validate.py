@@ -48,7 +48,7 @@ def make_eval_step(apply_fn: Callable, num_classes: int,
 def validate(state, val_iter: Iterable, num_classes: int,
              class_names: list[str] | None = None, epoch: int = 0,
              callbacks: list | None = None, detailed_report: bool = False,
-             eval_step=None):
+             eval_step=None, per_batch_callbacks: bool = True):
     """Run validation over an iterator of (images, labels) device batches.
 
     Returns ``(mean_iou, per_class)`` where ``per_class`` is a list of
@@ -77,7 +77,10 @@ def validate(state, val_iter: Iterable, num_classes: int,
                               np.asarray(preds))
         else:
             hist = result
-        if callbacks:
+        # per-batch running-accuracy callbacks (validation.py:57-66) force a
+        # device sync per batch; disable with per_batch_callbacks=False for
+        # a fully-async validation epoch (one transfer at the end)
+        if callbacks and per_batch_callbacks:
             h = np.asarray(hist)
             total = h.sum()
             pixel_acc = (np.trace(h) / total) if total else 0.0
