@@ -107,6 +107,8 @@ class BiSeNet(nn.Module):
     # exactly -- but the conv runs on 64x fewer pixels.  Set False for
     # bit-exact operation ordering vs the reference graph.
     fast_head: bool = True
+    # rematerialize backbone blocks in the backward pass (training memory)
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -115,7 +117,8 @@ class BiSeNet(nn.Module):
 
         sx = SpatialPath(dtype=self.dtype, name="spatial_path")(x, train)
 
-        backbone = build_contextpath(self.context_path, dtype=self.dtype)
+        backbone = build_contextpath(self.context_path, dtype=self.dtype,
+                                     remat=self.remat)
         cx1, cx2, tail = backbone.copy(name="context_path")(x, train=train)
 
         cx1 = AttentionRefinementModule(c16, dtype=self.dtype,

@@ -60,9 +60,13 @@ class DeepLabV2(nn.Module):
     num_classes: int = 19
     layers: tuple[int, ...] = (3, 4, 23, 3)
     dtype: jnp.dtype | None = None
+    # rematerialize bottleneck blocks in the backward pass (training memory)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        block_cls = nn.remat(Bottleneck, static_argnums=(2,)) if self.remat \
+            else Bottleneck
         in_size = (x.shape[1], x.shape[2])
         x = conv(64, 7, 2, 3, use_bias=False, kernel_init=normal_001,
                  dtype=self.dtype, name="conv1")(x)
@@ -80,7 +84,7 @@ class DeepLabV2(nn.Module):
                 # the stage is dilated (deeplabv2.py:94-97)
                 needs_proj = first and (
                     stride != 1 or x.shape[-1] != width * 4 or dilation in (2, 4))
-                x = Bottleneck(
+                x = block_cls(
                     features=width,
                     stride=stride if first else 1,
                     dilation=dilation,
@@ -88,7 +92,7 @@ class DeepLabV2(nn.Module):
                     stride_in_1x1=True,
                     dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_{block_idx}",
-                )(x, train=train)
+                )(x, train)
 
         x = ASPP(self.num_classes, dtype=self.dtype, name="layer6")(x)
         x = resize_bilinear(x, in_size).astype(jnp.float32)

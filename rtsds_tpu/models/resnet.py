@@ -113,10 +113,18 @@ class ResNetBackbone(nn.Module):
 
     arch: str = "resnet18"
     dtype: jnp.dtype | None = None
+    # rematerialize each residual block in the backward pass: trades ~1
+    # extra forward of FLOPs for dropping all intra-block activations --
+    # the jax.checkpoint analog of gradient checkpointing, for large
+    # training batches/resolutions
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        block_cls, layers = _STAGES[self.arch]
+        base_cls, layers = _STAGES[self.arch]
+        expansion = getattr(base_cls, "expansion", 1)
+        block_cls = nn.remat(base_cls, static_argnums=(2,)) if self.remat \
+            else base_cls
         x = conv(64, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = batch_norm(not train, name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
@@ -127,13 +135,12 @@ class ResNetBackbone(nn.Module):
         for stage_idx, (width, n_blocks) in enumerate(zip(widths, layers)):
             for block_idx in range(n_blocks):
                 stride = 2 if (stage_idx > 0 and block_idx == 0) else 1
-                expansion = getattr(block_cls, "expansion", 1)
                 needs_proj = block_idx == 0 and (
                     stride != 1 or x.shape[-1] != width * expansion)
                 x = block_cls(
                     features=width, stride=stride, downsample=needs_proj,
                     dtype=self.dtype,
-                    name=f"layer{stage_idx + 1}_{block_idx}")(x, train=train)
+                    name=f"layer{stage_idx + 1}_{block_idx}")(x, train)
             feats.append(x)
 
         feature3, feature4 = feats[2], feats[3]  # 1/16, 1/32
@@ -141,12 +148,12 @@ class ResNetBackbone(nn.Module):
         return feature3, feature4, tail
 
 
-def build_contextpath(name: str, dtype=None) -> ResNetBackbone:
+def build_contextpath(name: str, dtype=None, remat: bool = False) -> ResNetBackbone:
     """Factory matching ``build_contextpath.py:59-64`` (without its bug of
     eagerly constructing both backbones)."""
     if name not in _STAGES:
         raise ValueError(f"unsupported context_path network {name!r}")
-    return ResNetBackbone(arch=name, dtype=dtype)
+    return ResNetBackbone(arch=name, dtype=dtype, remat=remat)
 
 
 # kept importable for discriminators/backbones that use torch's default init
