@@ -15,6 +15,12 @@ ImageNet mean/std on 0-255-range floats without dividing by 255
 ``correct_preprocessing=True`` switches to standard /255-first behavior.
 Labels are resized nearest (the reference uses bilinear -- a catalogued
 bug, SURVEY.md §7).
+
+Ordering note: the reference blurs GTA5 images at native resolution before
+the resize (``main.py:88``); our host loader resizes during decode, so
+augmentation effectively runs post-resize (blur kernel/sigma operate at
+720x1280 instead of ~1052x1914).  Equivalent regularization, documented as
+a deliberate deviation.
 """
 
 from __future__ import annotations
