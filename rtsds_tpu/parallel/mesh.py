@@ -52,6 +52,25 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the HEIGHT dimension of NHWC images across the mesh.
+
+    The vision analog of sequence/context parallelism (SURVEY.md §5.7):
+    one giant image is split into horizontal bands, one per chip; XLA's
+    SPMD partitioner inserts the halo exchanges convolutions need at band
+    boundaries and the all-reduces for global pooling.  Use for inputs too
+    large for one chip's HBM (e.g. >4K panoramas) -- batch parallelism is
+    more efficient whenever the batch is large enough to shard instead.
+    """
+    return NamedSharding(mesh, P(None, axis_name))
+
+
+def shard_spatial(batch, mesh: Mesh, axis_name: str = "data"):
+    """device_put NHWC arrays with height-banded sharding."""
+    sharding = spatial_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """device_put a (possibly nested) batch with batch-dim sharding."""
     sharding = batch_sharding(mesh, axis_name)
