@@ -251,7 +251,8 @@ def main(argv=None):
         bundle = build_supervised(config, args.model, len(train_loader))
         import jax.numpy as jnp
 
-        bs = config.data["cityscapes"]["batch_size"]
+        section = "gta5_modified" if args.dataset == "gta5" else "cityscapes"
+        bs = config.data[section]["batch_size"]
         size = data["gta5_size"] if args.dataset == "gta5" else data["cs_size"]
         state = bundle.init_state(init_key, jnp.zeros((bs, *size, 3)))
 

@@ -84,6 +84,27 @@ def test_supervised_smoke(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_supervised_gta5_augmented_smoke(tmp_path, monkeypatch):
+    """--dataset gta5 --augmented: train on GTA5 (blur+flip augmentation),
+    validate on Cityscapes (main.py:338-340)."""
+    from rtsds_tpu import cli
+
+    cfg_path = _tiny_config(tmp_path)
+    recorder = RecorderCallback()
+    orig = cli.build_callbacks
+
+    def patched(config, use_wandb):
+        callbacks, checkpoint = orig(config, use_wandb)
+        return [*callbacks, recorder], checkpoint
+
+    monkeypatch.setattr(cli, "build_callbacks", patched)
+    cli.main(["--config", cfg_path, "--synthetic", "--dataset", "gta5",
+              "--augmented"])
+    assert recorder.train_ended
+    assert recorder.val_logs
+
+
+@pytest.mark.slow
 def test_adversarial_smoke(tmp_path, monkeypatch):
     from rtsds_tpu import cli
 
