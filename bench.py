@@ -16,7 +16,7 @@ import sys
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "48"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
 
