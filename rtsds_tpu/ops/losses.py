@@ -22,12 +22,14 @@ def cross_entropy(logits, labels, ignore_index: int | None = None):
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     labels = labels.astype(jnp.int32)
+    # one-hot masked sum instead of take_along_axis: a gather's backward is
+    # a scatter-add, which serializes on TPU; the comparison mask fuses into
+    # the log_softmax backward as dense elementwise work
+    classes = jnp.arange(logits.shape[-1], dtype=jnp.int32)
+    onehot = (labels[..., None] == classes).astype(logp.dtype)
+    ll = jnp.sum(logp * onehot, axis=-1)
     if ignore_index is None:
-        ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
         return -jnp.mean(ll)
-    # Clamp for safe gather; masked out afterwards.
-    safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
-    ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     mask = (labels != ignore_index).astype(jnp.float32)
     denom = jnp.maximum(mask.sum(), 1.0)
     return -(ll * mask).sum() / denom
