@@ -23,13 +23,26 @@ from rtsds_tpu.utils.metrics import fast_hist, per_class_iou
 
 
 def make_eval_step(apply_fn: Callable, num_classes: int,
-                   return_preds: bool = False):
+                   return_preds: bool = False,
+                   use_pallas: bool | None = None):
     """Returns ``eval_step(variables, images, labels, hist) -> hist`` (or
     ``(hist, preds)`` when ``return_preds``, for image-plot callbacks).
 
     ``hist`` is carried as a device array; the argmax, masking and
-    scatter-add all fuse into the forward program.
+    histogram update all fuse into the forward program.  On TPU the
+    histogram uses the Pallas MXU kernel (one-hot matmul) instead of the
+    serial scatter-add ``bincount`` lowering; ``use_pallas`` overrides the
+    auto-detection.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+
+    def hist_update(labels, preds):
+        if use_pallas:
+            from rtsds_tpu.ops.pallas.hist import fast_hist_pallas
+
+            return fast_hist_pallas(labels, preds, num_classes)
+        return fast_hist(labels, preds, num_classes)
 
     @jax.jit
     def eval_step(variables, images, labels, hist):
@@ -37,7 +50,7 @@ def make_eval_step(apply_fn: Callable, num_classes: int,
         if isinstance(outputs, (tuple, list)):
             outputs = outputs[0]
         preds = jnp.argmax(outputs, axis=-1)
-        new_hist = hist + fast_hist(labels, preds, num_classes)
+        new_hist = hist + hist_update(labels, preds)
         if return_preds:
             return new_hist, preds
         return new_hist
