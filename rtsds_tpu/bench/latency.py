@@ -125,3 +125,29 @@ def bisenet_inference_benchmark(image_size=(1024, 2048), batch_size: int = 1,
                   "dtype": str(dtype.__name__ if hasattr(dtype, '__name__')
                                else dtype)})
     return stats
+
+
+def deeplab_inference_benchmark(image_size=(512, 1024), batch_size: int = 4,
+                                dtype=jnp.bfloat16, iterations: int = 10,
+                                repeats: int = 5, warmup: int = 1,
+                                num_classes: int = 19) -> dict:
+    """DeepLabV2-ResNet101 serving-path bench (BASELINE.md config 2 shape)."""
+    from rtsds_tpu.models.deeplabv2 import DeepLabV2
+
+    model = DeepLabV2(num_classes=num_classes, dtype=dtype)
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (batch_size, *image_size, 3), dtype=jnp.float32)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(key, x)
+
+    def forward(variables, x):
+        logits = model.apply(variables, x, train=False)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    stats = latency_benchmark(forward, (variables, x), iterations=iterations,
+                              repeats=repeats, warmup=warmup,
+                              images_per_call=batch_size, chain_index=1)
+    stats.update({"model": "deeplabv2-resnet101",
+                  "image_size": list(image_size),
+                  "batch_size": batch_size,
+                  "dtype": str(getattr(dtype, "__name__", dtype))})
+    return stats

@@ -47,6 +47,9 @@ def argument_parser(argv=None):
                              "without the datasets on disk.")
     parser.add_argument("--resume", action="store_true",
                         help="(ours) resume from the latest checkpoint.")
+    parser.add_argument("--debug", action="store_true",
+                        help="(ours) paranoid mode: jax_debug_nans re-runs "
+                             "NaN-producing ops un-jitted and raises.")
     return parser.parse_args(argv)
 
 
@@ -176,6 +179,10 @@ def _device_batches(loader, transform, mesh, key=None, augment=False,
 
 def main(argv=None):
     args = argument_parser(argv)
+    if args.debug:
+        from rtsds_tpu.utils.debug import enable_debug
+
+        enable_debug()
     root_key = set_seed(args.seed)
     config = load_config(args.config if args.config else None)
 

@@ -31,7 +31,7 @@ class RecorderCallback(Callback):
         self.train_ended = True
 
 
-def _tiny_config(tmp_path, epochs=1, iterations=2):
+def _tiny_config(tmp_path, epochs=1, iterations=2, variant="v1"):
     cfg = {
         "data": {
             "cityscapes": {"image_size": "32, 64", "batch_size": 2,
@@ -42,7 +42,7 @@ def _tiny_config(tmp_path, epochs=1, iterations=2):
         "training": {
             "segmentation": {"epochs": epochs, "do_validation": 1},
             "domain_adaptation": {"epochs": epochs, "iterations": iterations,
-                                  "do_validation": 1},
+                                  "do_validation": 1, "variant": variant},
         },
         "callbacks": {
             "model_checkpoint": {
@@ -127,3 +127,24 @@ def test_adversarial_smoke(tmp_path, monkeypatch):
     assert all(np.isfinite(list(logs.values())).all()
                for logs in recorder.batch_logs)
     assert recorder.val_logs
+
+
+@pytest.mark.slow
+def test_adversarial_v2_smoke(tmp_path, monkeypatch):
+    """variant: v2 config dispatches the alternate loop semantics
+    (train.py:322-500)."""
+    from rtsds_tpu import cli
+
+    cfg_path = _tiny_config(tmp_path, variant="v2")
+    recorder = RecorderCallback()
+    orig = cli.build_callbacks
+
+    def patched(config, use_wandb):
+        callbacks, checkpoint = orig(config, use_wandb)
+        return [*callbacks, recorder], checkpoint
+
+    monkeypatch.setattr(cli, "build_callbacks", patched)
+    cli.main(["--config", cfg_path, "--synthetic", "--domain_adaptation"])
+    assert recorder.train_ended
+    assert all(np.isfinite(list(logs.values())).all()
+               for logs in recorder.batch_logs)
