@@ -17,8 +17,8 @@ import sys
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "48"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+    iters = int(os.environ.get("BENCH_ITERS", "6"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     from rtsds_tpu.bench.latency import bisenet_inference_benchmark
 
