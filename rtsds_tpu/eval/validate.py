@@ -21,6 +21,31 @@ import numpy as np
 
 from rtsds_tpu.utils.metrics import fast_hist, per_class_iou
 
+_PALLAS_HIST_OK: bool | None = None
+
+
+def _pallas_hist_available() -> bool:
+    """Probe whether the Pallas MXU histogram compiles+runs on the actual
+    execution backend (a plugin may report 'tpu' while execution is CPU,
+    or a TPU backend may lack Mosaic support) -- cached per process."""
+    global _PALLAS_HIST_OK
+    if _PALLAS_HIST_OK is None:
+        if jax.default_backend() == "cpu":
+            _PALLAS_HIST_OK = False
+        else:
+            try:
+                from rtsds_tpu.ops.pallas.hist import TILE, fast_hist_pallas
+
+                # 2 tiles: exercises the multi-step grid path, not just the
+                # whole-array block special case
+                n = 2 * TILE
+                out = fast_hist_pallas(jnp.zeros((n,), jnp.int32),
+                                       jnp.zeros((n,), jnp.int32), 19)
+                _PALLAS_HIST_OK = int(out[0, 0]) == n
+            except Exception:
+                _PALLAS_HIST_OK = False
+    return _PALLAS_HIST_OK
+
 
 def make_eval_step(apply_fn: Callable, num_classes: int,
                    return_preds: bool = False,
@@ -35,7 +60,7 @@ def make_eval_step(apply_fn: Callable, num_classes: int,
     auto-detection.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = _pallas_hist_available()
 
     def hist_update(labels, preds):
         if use_pallas:

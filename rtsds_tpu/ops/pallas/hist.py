@@ -31,6 +31,7 @@ def _hist_kernel(labels_ref, preds_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    # blocks are (1, TILE, 1); dropping the leading unit dim is layout-free
     lbl = labels_ref[:].reshape(TILE, 1)          # (TILE, 1) int32
     prd = preds_ref[:].reshape(TILE, 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (TILE, LANES), 1)
@@ -63,18 +64,19 @@ def fast_hist_pallas(labels, preds, num_classes: int = 19,
     # out-of-range *valid-pixel* guard: ids >= num_classes must also drop
     labels = jnp.where((labels >= 0) & (labels < num_classes), labels, LANES)
     num_tiles = labels.shape[0] // TILE
-    labels = labels.reshape(num_tiles, TILE)
-    preds = preds.reshape(num_tiles, TILE)
+    # (num_tiles, TILE, 1): block last-two dims (TILE, 1) satisfy the TPU
+    # tiling rules (TILE % 8 == 0; trailing dim equals the array's), and
+    # pixels land on the sublane axis so the kernel needs no relayout
+    shape3 = (num_tiles, TILE, 1)
+    labels = labels.reshape(shape3)
+    preds = preds.reshape(shape3)
 
+    block = pl.BlockSpec((1, TILE, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _hist_kernel,
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, TILE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[block, block],
         out_specs=pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((LANES, LANES), jnp.float32),

@@ -22,6 +22,10 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The ambient TPU plugin's sitecustomize may pin jax_platforms
+# programmatically, overriding the env var; config.update wins.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: model graphs are large and CPU compiles are
 # slow; cache across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
