@@ -31,7 +31,8 @@ def main():
         "value": round(stats["fps"], 2),
         "unit": "images/sec",
         "vs_baseline": round(stats["fps"] / 200.0, 3),
-        "p50_ms": round(stats["p50_ms"], 3),
+        "p50_ms": round(stats["p50_ms"], 3),          # per batch call
+        "p50_ms_per_image": round(stats["p50_ms"] / batch, 3),
         "p99_ms": round(stats["p99_ms"], 3),
         "batch_size": batch,
         "dtype": stats["dtype"],
