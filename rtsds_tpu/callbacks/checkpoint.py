@@ -60,7 +60,14 @@ class CheckpointManager:
         args = self._ocp.args.Composite(**{
             name: self._ocp.args.StandardRestore(_savable(state))
             for name, state in states.items()})
-        restored = self.manager.restore(int(step), args=args)
+        try:
+            restored = self.manager.restore(int(step), args=args)
+        except KeyError as e:
+            # checkpoint holds different items (e.g. a supervised 'model'
+            # checkpoint under a DA run's directory): skip resume rather
+            # than crash
+            print(f"checkpoint restore skipped: {e}")
+            return states
         return {name: _load_into(states[name], restored[name])
                 for name in states}
 

@@ -112,7 +112,7 @@ def datasets_loader(config, is_augmented: bool, synthetic: bool = False,
     }
 
 
-def build_callbacks(config, use_wandb: bool):
+def build_callbacks(config, use_wandb: bool, mode_suffix: str = ""):
     """Callbacks from config (``main.py:292-300`` + the declared-but-never-
     implemented config.yaml:127-149 schema, implemented here)."""
     from rtsds_tpu.callbacks import (
@@ -133,8 +133,10 @@ def build_callbacks(config, use_wandb: bool):
     checkpoint = None
     if "model_checkpoint" in cb_cfg:
         mc = cb_cfg["model_checkpoint"]
+        # namespace per training mode so supervised and DA runs sharing a
+        # config don't collide on incompatible checkpoint item sets
         checkpoint = ModelCheckpoint(
-            save_dir=mc["save_dir"], save_name=mc["save_name"],
+            save_dir=mc["save_dir"], save_name=mc["save_name"] + mode_suffix,
             save_best=bool(mc.get("save_best", True)),
             monitor=mc.get("monitor", "validation_mIoU"),
             mode=mc.get("mode", "max"),
@@ -195,7 +197,9 @@ def main(argv=None):
         batch_size, int(config.data["gta5_modified"]["batch_size"])))
     data = datasets_loader(config, is_augmented=args.augmented,
                            synthetic=args.synthetic, seed=args.seed)
-    callbacks, checkpoint = build_callbacks(config, args.wandb)
+    callbacks, checkpoint = build_callbacks(
+        config, args.wandb,
+        mode_suffix="_da" if args.domain_adaptation else "")
     class_names = list(config.meta["class_names"])
     init_key, aug_key = jax.random.split(root_key)
 

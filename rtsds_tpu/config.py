@@ -270,8 +270,13 @@ def load_config(path: str | None = None, overrides: dict | None = None) -> Confi
     """
     data = copy.deepcopy(_DEFAULTS)
     if path is not None:
-        with open(path) as f:
-            user = yaml.safe_load(f) or {}
+        try:
+            with open(path) as f:
+                user = yaml.safe_load(f) or {}
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                "Config file not found. Please provide the correct path to "
+                f"the config file. (got: {path})")
         data = _deep_merge(data, user)
     if overrides:
         data = _deep_merge(data, overrides)

@@ -66,8 +66,8 @@ def test_supervised_smoke(tmp_path, monkeypatch):
     recorder = RecorderCallback()
     orig = cli.build_callbacks
 
-    def patched(config, use_wandb):
-        callbacks, checkpoint = orig(config, use_wandb)
+    def patched(config, use_wandb, *a, **k):
+        callbacks, checkpoint = orig(config, use_wandb, *a, **k)
         return [*callbacks, recorder], checkpoint
 
     monkeypatch.setattr(cli, "build_callbacks", patched)
@@ -93,8 +93,8 @@ def test_supervised_gta5_augmented_smoke(tmp_path, monkeypatch):
     recorder = RecorderCallback()
     orig = cli.build_callbacks
 
-    def patched(config, use_wandb):
-        callbacks, checkpoint = orig(config, use_wandb)
+    def patched(config, use_wandb, *a, **k):
+        callbacks, checkpoint = orig(config, use_wandb, *a, **k)
         return [*callbacks, recorder], checkpoint
 
     monkeypatch.setattr(cli, "build_callbacks", patched)
@@ -112,8 +112,8 @@ def test_adversarial_smoke(tmp_path, monkeypatch):
     recorder = RecorderCallback()
     orig = cli.build_callbacks
 
-    def patched(config, use_wandb):
-        callbacks, checkpoint = orig(config, use_wandb)
+    def patched(config, use_wandb, *a, **k):
+        callbacks, checkpoint = orig(config, use_wandb, *a, **k)
         return [*callbacks, recorder], checkpoint
 
     monkeypatch.setattr(cli, "build_callbacks", patched)
@@ -139,8 +139,8 @@ def test_adversarial_v2_smoke(tmp_path, monkeypatch):
     recorder = RecorderCallback()
     orig = cli.build_callbacks
 
-    def patched(config, use_wandb):
-        callbacks, checkpoint = orig(config, use_wandb)
+    def patched(config, use_wandb, *a, **k):
+        callbacks, checkpoint = orig(config, use_wandb, *a, **k)
         return [*callbacks, recorder], checkpoint
 
     monkeypatch.setattr(cli, "build_callbacks", patched)
