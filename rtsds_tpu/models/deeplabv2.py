@@ -31,7 +31,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rtsds_tpu.models.layers import batch_norm, conv, max_pool_3x3_s2, normal_001
+from rtsds_tpu.models.layers import Stem7x7, batch_norm, conv, max_pool_3x3_s2, normal_001
 from rtsds_tpu.models.resnet import Bottleneck
 from rtsds_tpu.ops.resize import resize_bilinear
 
@@ -68,8 +68,8 @@ class DeepLabV2(nn.Module):
         block_cls = nn.remat(Bottleneck, static_argnums=(2,)) if self.remat \
             else Bottleneck
         in_size = (x.shape[1], x.shape[2])
-        x = conv(64, 7, 2, 3, use_bias=False, kernel_init=normal_001,
-                 dtype=self.dtype, name="conv1")(x)
+        x = Stem7x7(features=64, kernel_init=normal_001, dtype=self.dtype,
+                    name="conv1")(x)
         x = batch_norm(not train, name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x, ceil_mode=True)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rtsds_tpu.models.layers import (
+    Stem7x7,
     batch_norm,
     conv,
     global_avg_pool,
@@ -125,7 +126,7 @@ class ResNetBackbone(nn.Module):
         expansion = getattr(base_cls, "expansion", 1)
         block_cls = nn.remat(base_cls, static_argnums=(2,)) if self.remat \
             else base_cls
-        x = conv(64, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = Stem7x7(features=64, dtype=self.dtype, name="conv1")(x)
         x = batch_norm(not train, name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
