@@ -90,16 +90,21 @@ class Stem7x7(nn.Module):
     A 7x7/s2 conv on (H, W, C) equals a 4x4/s1 conv on the 2x2
     space-to-depth rearrangement (H/2, W/2, 4C) with the kernel taps
     repacked by output phase -- same math, but the TPU conv runs with 4x
-    the input channels and half the spatial extent, which measured 2.9x
-    faster on v5e (0.24 vs 0.68 ms/img at 1024x2048).  Odd inputs fall
-    back to the standard conv.  The parameter keeps the torchvision
-    (7, 7, C, O) kernel layout, so checkpoints and converters are
-    unaffected; the repack is linear, so gradients flow exactly.
+    the input channels and half the spatial extent: the conv itself
+    measured 2.9x faster on v5e (0.24 vs 0.68 ms/img at 1024x2048).
+    HOWEVER the in-graph space-to-depth transpose of the raw input costs
+    more than the conv saves at the full model level (BiSeNet end-to-end
+    regressed 293 -> 267 FPS), so ``s2d`` defaults to OFF; it pays off
+    only when the rearrangement can be fused upstream (e.g. done once on
+    the host or shared across consumers).  Odd inputs fall back to the
+    standard conv.  The parameter keeps the torchvision (7, 7, C, O)
+    kernel layout, so checkpoints and converters are unaffected; the
+    repack is linear, so gradients flow exactly.
     """
 
     features: int = 64
     kernel_init: Callable = torch_default_conv
-    s2d: bool = True
+    s2d: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
