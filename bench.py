@@ -5,7 +5,8 @@ Baseline: the 200 FPS/chip v5e target from BASELINE.md (the reference
 publishes no numbers of its own; literature GPU baselines are 65-105 FPS).
 ``vs_baseline`` is value / 200.
 
-Env knobs: BENCH_BATCH (default 8), BENCH_ITERS (default 30).
+Env knobs: BENCH_BATCH (default 48), BENCH_ITERS (default 6),
+BENCH_REPEATS (default 3).
 """
 
 from __future__ import annotations

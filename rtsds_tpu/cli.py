@@ -210,11 +210,13 @@ def main(argv=None):
 
         gta5_bs = config.data["gta5_modified"]["batch_size"]
         cs_bs = config.data["cityscapes"]["batch_size"]
+        # independent init keys: G and D must not share correlated inits
+        gen_key, dis_key = jax.random.split(init_key)
         gen_state = gen_bundle.init_state(
-            init_key, jnp.zeros((gta5_bs, *data["gta5_size"], 3)))
+            gen_key, jnp.zeros((gta5_bs, *data["gta5_size"], 3)))
         dis_state = dis_bundle.init_state(
-            init_key, jnp.zeros((cs_bs, *data["cs_size"],
-                                 tcfg["num_classes"])))
+            dis_key, jnp.zeros((cs_bs, *data["cs_size"],
+                                tcfg["num_classes"])))
 
         from rtsds_tpu.train.adversarial import make_adversarial_step
 
@@ -274,9 +276,13 @@ def main(argv=None):
         train_step = make_train_step(
             ignore_index=cfg_model["criterion"].get("ignore_index"))
 
-        def train_batches(_epoch):
+        def train_batches(epoch):
+            # fold the epoch into the augmentation key: without this the
+            # per-epoch generator restarts its batch counter at 0 and every
+            # epoch's k-th batch draws identical blur/flip/jitter randomness
             return _device_batches(train_loader, train_transform, mesh,
-                                   key=aug_key, augment=train_augment)
+                                   key=jax.random.fold_in(aug_key, epoch),
+                                   augment=train_augment)
 
         def val_batches(_epoch):
             return _device_batches(data["cs_val"], data["cs_transform"], mesh)

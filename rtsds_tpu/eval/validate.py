@@ -86,13 +86,15 @@ def make_eval_step(apply_fn: Callable, num_classes: int,
 def validate(state, val_iter: Iterable, num_classes: int,
              class_names: list[str] | None = None, epoch: int = 0,
              callbacks: list | None = None, detailed_report: bool = False,
-             eval_step=None, per_batch_callbacks: bool = True):
+             eval_step=None, per_batch_callbacks: bool = False):
     """Run validation over an iterator of (images, labels) device batches.
 
     Returns ``(mean_iou, per_class)`` where ``per_class`` is a list of
     ``(class_name, iou)`` (the reference's DataFrame, ``validation.py:141``).
     Per-batch callbacks receive ``loss = 1 - running_pixel_accuracy``
-    (``validation.py:57-62``).
+    (``validation.py:57-62``) but force a device->host sync per batch, so
+    they default OFF; the reference-shaped ``val``/``val_GTA5`` wrappers
+    turn them back on for parity.
     """
     callbacks = callbacks or []
     for cb in callbacks:
@@ -145,7 +147,8 @@ def validate(state, val_iter: Iterable, num_classes: int,
 def val(epoch, state, val_iter, num_classes, callbacks=None, eval_step=None):
     """Reference-shaped entry point (``validation.py:12-77``)."""
     miou, _ = validate(state, val_iter, num_classes, epoch=epoch,
-                       callbacks=callbacks, eval_step=eval_step)
+                       callbacks=callbacks, eval_step=eval_step,
+                       per_batch_callbacks=True)
     return miou
 
 
@@ -155,4 +158,4 @@ def val_GTA5(epoch, state, val_iter, num_classes, class_names,
     (``validation.py:79-149``)."""
     return validate(state, val_iter, num_classes, class_names=class_names,
                     epoch=epoch, callbacks=callbacks, detailed_report=True,
-                    eval_step=eval_step)
+                    eval_step=eval_step, per_batch_callbacks=True)

@@ -39,6 +39,15 @@ def make_mesh(devices=None, axis_name: str = "data",
         n = len(devices)
         while n > 1 and batch_size % n != 0:
             n -= 1
+        if n < len(devices):
+            import warnings
+
+            warnings.warn(
+                f"make_mesh: global batch {batch_size} is not divisible by "
+                f"{len(devices)} devices; using only {n} device(s) and "
+                f"idling {len(devices) - n}. Set the batch size to a "
+                f"multiple of the chip count for full utilization.",
+                stacklevel=2)
         devices = devices[:n]
     return Mesh(np.asarray(devices), axis_names=(axis_name,))
 

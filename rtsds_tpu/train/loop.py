@@ -83,7 +83,11 @@ def supervised_fit(state, train_step, make_train_batches: Callable,
         checkpoint.attach(lambda: {"model": state})
         if checkpoint not in callbacks:
             callbacks = [*callbacks, checkpoint]
-    eval_step = make_eval_step(state.apply_fn, num_classes)
+    # return_preds must be on whenever an image-plot callback is listening,
+    # otherwise validate() never calls add_sample and no images are written
+    plot_cbs = any(hasattr(cb, "add_sample") for cb in callbacks)
+    eval_step = make_eval_step(state.apply_fn, num_classes,
+                               return_preds=plot_cbs)
     history = []
     for epoch in range(epochs):
         if checkpoint is not None:
@@ -120,7 +124,9 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
     if checkpoint is not None:
         if checkpoint not in callbacks:
             callbacks = [*callbacks, checkpoint]
-    eval_step = make_eval_step(gen_state.apply_fn, num_classes)
+    plot_cbs = any(hasattr(cb, "add_sample") for cb in callbacks)
+    eval_step = make_eval_step(gen_state.apply_fn, num_classes,
+                               return_preds=plot_cbs)
     loss_keys = ["loss_gen_source", "loss_adversarial",
                  "loss_disc_source", "loss_disc_target"]
     history = []
@@ -128,7 +134,6 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
     for epoch in range(epochs):
         _fan_out(callbacks, "on_train_begin")
         if checkpoint is not None:
-            checkpoint.set_epoch = getattr(checkpoint, "set_epoch", None)
             checkpoint._epoch = epoch
             checkpoint.attach(lambda: {"generator": gen_state,
                                        "discriminator": dis_state})
