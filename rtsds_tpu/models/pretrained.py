@@ -26,8 +26,11 @@ import numpy as np
 
 def _to_numpy(v) -> np.ndarray:
     if hasattr(v, "detach"):
-        v = v.detach().cpu().numpy()
-    return np.asarray(v)
+        # .numpy() aliases the torch storage -- copy so later in-place
+        # mutation of the source model (e.g. a train-mode forward updating
+        # BN running stats) cannot corrupt converted weights
+        return v.detach().cpu().numpy().copy()
+    return np.array(v)
 
 
 def _translate_key(key: str) -> tuple[str, tuple[str, ...]] | None:
