@@ -27,6 +27,11 @@ def main():
         image_size=(1024, 2048), batch_size=batch, iterations=iters,
         repeats=repeats, warmup=1)
 
+    # MFU against the v5e bf16 peak (197 TFLOP/s/chip); flops from the HLO
+    flops = stats.get("flops_per_call", float("nan"))
+    mean_s = stats["mean_ms"] / 1e3
+    mfu = flops / mean_s / 197e12 if flops == flops and mean_s > 0 else None
+
     result = {
         "metric": "bisenet_1024x2048_inference_fps_per_chip",
         "value": round(stats["fps"], 2),
@@ -37,6 +42,8 @@ def main():
         "p99_ms": round(stats["p99_ms"], 3),
         "batch_size": batch,
         "dtype": stats["dtype"],
+        "flops_per_image": (round(flops / batch) if flops == flops else None),
+        "mfu_vs_v5e_bf16_peak": (round(mfu, 4) if mfu is not None else None),
     }
     print(json.dumps(result))
 

@@ -84,6 +84,20 @@ def latency_benchmark(fn, args, iterations: int = 10, repeats: int = 5,
     }
 
 
+def program_flops(fn, *args) -> float:
+    """FLOPs of ``jit(fn)(*args)`` from the HLO alone (host-side
+    ``lowered.cost_analysis()`` -- no backend compile, so it is safe to call
+    on slow remote-compile backends)."""
+    try:
+        lowered = jax.jit(fn).lower(*args)
+        costs = lowered.cost_analysis()
+        if isinstance(costs, list):
+            costs = costs[0] if costs else {}
+        return float(costs.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
+
+
 def bisenet_inference_benchmark(image_size=(1024, 2048), batch_size: int = 1,
                                 context_path: str = "resnet18",
                                 dtype=jnp.bfloat16, iterations: int = 10,
@@ -118,6 +132,7 @@ def bisenet_inference_benchmark(image_size=(1024, 2048), batch_size: int = 1,
     stats = latency_benchmark(forward, (variables, x), iterations=iterations,
                               repeats=repeats, warmup=warmup,
                               images_per_call=batch_size, chain_index=1)
+    stats["flops_per_call"] = program_flops(forward, variables, x)
     stats.update({"model": f"bisenet-{context_path}",
                   "image_size": list(image_size),
                   "batch_size": batch_size,

@@ -89,6 +89,16 @@ def datasets_loader(config, is_augmented: bool, synthetic: bool = False,
 
     aug_cfg = AugmentConfig.from_config(config) if is_augmented else None
 
+    # multi-host: config batch sizes are GLOBAL; every process loads only
+    # its slice of each batch and the arrays assemble per-device
+    # (rtsds_tpu/data/multihost.py). Single-process keeps the plain loader.
+    if jax.process_count() > 1:
+        from rtsds_tpu.data.multihost import MultiHostDataLoader
+
+        loader_cls = MultiHostDataLoader
+    else:
+        loader_cls = DataLoader
+
     # transforms (main.py:69-95): Cityscapes antialias resize + normalize;
     # GTA5 [augment] + resize + normalize; labels nearest + clamp.
     # Host loaders already resize to static size, so the device transform
@@ -99,7 +109,7 @@ def datasets_loader(config, is_augmented: bool, synthetic: bool = False,
                                             antialias=False,
                                             augment_cfg=aug_cfg))
 
-    mk = partial(DataLoader, num_workers=cs["num_workers"], seed=seed)
+    mk = partial(loader_cls, num_workers=cs["num_workers"], seed=seed)
     return {
         "cs_train": mk(cs_train_ds, cs["batch_size"], shuffle=True),
         "cs_val": mk(cs_val_ds, cs["batch_size"], shuffle=False,
@@ -157,17 +167,30 @@ def build_callbacks(config, use_wandb: bool, mode_suffix: str = ""):
 
 def _device_batches(loader, transform, mesh, key=None, augment=False,
                     infinite=False):
-    """host loader -> sharded device batches through the fused transform."""
+    """host loader -> sharded device batches through the fused transform.
+
+    Multi-host loaders yield per-process shards; each becomes this
+    process's span of a global batch-sharded array
+    (``jax.make_array_from_process_local_data``) instead of a device_put.
+    """
+    from rtsds_tpu.data.multihost import MultiHostDataLoader
     from rtsds_tpu.parallel.mesh import batch_sharding
 
     sharding = batch_sharding(mesh)
+    pc = loader.process_count if isinstance(loader, MultiHostDataLoader) else 1
+
+    def put(arr):
+        if pc > 1 or isinstance(loader, MultiHostDataLoader):
+            return jax.make_array_from_process_local_data(
+                sharding, arr, (arr.shape[0] * pc, *arr.shape[1:]))
+        return jax.device_put(arr, sharding)
 
     def gen():
         i = 0
         while True:
             for images, labels in loader:
-                images = jax.device_put(images, sharding)
-                labels = jax.device_put(labels, sharding)
+                images = put(images)
+                labels = put(labels)
                 if augment and key is not None:
                     yield transform(images, labels, jax.random.fold_in(key, i))
                 else:

@@ -31,6 +31,7 @@ from flax import linen as nn
 from rtsds_tpu.models.layers import ConvBlock, batch_norm, conv, global_avg_pool, kaiming_normal_relu
 from rtsds_tpu.models.resnet import FEATURE_CHANNELS, build_contextpath
 from rtsds_tpu.ops.resize import resize_bilinear, upsample_bilinear
+from rtsds_tpu.utils.dtypes import at_least_f32
 
 
 class SpatialPath(nn.Module):
@@ -138,8 +139,8 @@ class BiSeNet(nn.Module):
                            dtype=self.dtype, name="supervision1")(cx1)
             cx2_sup = conv(self.num_classes, 1, kernel_init=kaiming_normal_relu,
                            dtype=self.dtype, name="supervision2")(cx2)
-            cx1_sup = resize_bilinear(cx1_sup, in_size).astype(jnp.float32)
-            cx2_sup = resize_bilinear(cx2_sup, in_size).astype(jnp.float32)
+            cx1_sup = at_least_f32(resize_bilinear(cx1_sup, in_size))
+            cx2_sup = at_least_f32(resize_bilinear(cx2_sup, in_size))
 
         result = FeatureFusionModule(
             self.num_classes, 256 + c16 + c32, dtype=self.dtype,
@@ -153,7 +154,7 @@ class BiSeNet(nn.Module):
                 result = upsample_bilinear(final_conv(result), 8)
             else:
                 result = final_conv(upsample_bilinear(result, 8))
-        result = result.astype(jnp.float32)
+        result = at_least_f32(result)
 
         if train:
             return result, cx1_sup, cx2_sup

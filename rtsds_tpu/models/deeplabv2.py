@@ -34,6 +34,7 @@ from flax import linen as nn
 from rtsds_tpu.models.layers import Stem7x7, batch_norm, conv, max_pool_3x3_s2, normal_001
 from rtsds_tpu.models.resnet import Bottleneck
 from rtsds_tpu.ops.resize import resize_bilinear
+from rtsds_tpu.utils.dtypes import at_least_f32
 
 
 class ASPP(nn.Module):
@@ -95,7 +96,7 @@ class DeepLabV2(nn.Module):
                 )(x, train)
 
         x = ASPP(self.num_classes, dtype=self.dtype, name="layer6")(x)
-        x = resize_bilinear(x, in_size).astype(jnp.float32)
+        x = at_least_f32(resize_bilinear(x, in_size))
 
         if train:
             return x, None, None

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rtsds_tpu.models.layers import conv, global_avg_pool
+from rtsds_tpu.utils.dtypes import at_least_f32
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -59,7 +60,7 @@ class DomainDiscriminator(nn.Module):
             x = conv(ch, 4, 2, 1, dtype=self.dtype, name=f"conv{i + 1}")(x)
             x = leaky(x)
         x = conv(1, 4, 2, 1, dtype=self.dtype, name="classifier")(x)
-        x = global_avg_pool(x).astype(jnp.float32)
+        x = at_least_f32(global_avg_pool(x))
         if self.with_grl:
             x = gradient_reversal(x, self.lambda_)
         return x
@@ -77,4 +78,4 @@ class TinyDomainDiscriminator(nn.Module):
         x = conv(64, 4, 2, 1, dtype=self.dtype, name="conv1")(x)
         x = nn.leaky_relu(x, negative_slope=0.2)
         x = conv(1, 4, 2, 1, dtype=self.dtype, name="classifier")(x)
-        return global_avg_pool(x).astype(jnp.float32)
+        return at_least_f32(global_avg_pool(x))

@@ -49,9 +49,67 @@ def conv(features: int, kernel: int = 3, stride: int = 1, padding: int = 0,
     )
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's exact running-stat semantics.
+
+    flax ``nn.BatchNorm`` folds the *biased* batch variance into the
+    running average; torch uses the Bessel-corrected (unbiased) variance
+    for the running update (normalization itself uses the biased one in
+    both).  The n/(n-1) factor is negligible for feature maps but large
+    for the ARM/FFM gate BNs, whose statistics reduce over only N values
+    (batch 4 -> running_var 33% off).  Param/stat names and layout match
+    flax BatchNorm ("scale"/"bias", batch_stats "mean"/"var"), so
+    checkpoints and the torch converter are unaffected.
+    """
+
+    use_running_average: bool
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32),
+                                (features,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32),
+                               (features,))
+        # statistics at >= f32 even when compute dtype is bf16 (and f64 in
+        # float64 parity runs)
+        stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+        xs = x.astype(stat_dtype)
+        if self.use_running_average:
+            mean = ra_mean.value.astype(stat_dtype)
+            var = ra_var.value.astype(stat_dtype)
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xs, axis=axes)
+            var = jnp.mean(jnp.square(xs), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = x.size // features
+                bessel = n / max(n - 1, 1)
+                m = self.momentum
+                # store in the incoming stat dtype (f32 in production,
+                # f64 under float64 parity runs)
+                ra_dtype = ra_mean.value.dtype
+                ra_mean.value = (m * ra_mean.value
+                                 + (1.0 - m) * mean).astype(ra_dtype)
+                ra_var.value = (m * ra_var.value
+                                + (1.0 - m) * var * bessel).astype(ra_dtype)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(stat_dtype)
+        y = (xs - mean) * inv + bias.astype(stat_dtype)
+        return y.astype(self.dtype or x.dtype)
+
+
 def batch_norm(use_running_average: bool, name: str | None = None,
-               dtype=None) -> nn.BatchNorm:
-    return nn.BatchNorm(
+               dtype=None) -> TorchBatchNorm:
+    return TorchBatchNorm(
         use_running_average=use_running_average,
         momentum=BN_MOMENTUM,
         epsilon=BN_EPS,

@@ -110,7 +110,8 @@ def convert_torch_state_dict(state_dict: Mapping[str, object],
     return out
 
 
-def _merge(dst: dict, src: dict, path: str = "") -> tuple[int, list[str]]:
+def _merge(dst: dict, src: dict, path: str = "",
+           dtype=None) -> tuple[int, list[str]]:
     """Recursively copy matching leaves of src into dst (strict=False)."""
     loaded, skipped = 0, []
     for k, v in src.items():
@@ -118,25 +119,28 @@ def _merge(dst: dict, src: dict, path: str = "") -> tuple[int, list[str]]:
             skipped.append(f"{path}{k}")
             continue
         if isinstance(v, dict) and isinstance(dst[k], dict):
-            sub_loaded, sub_skipped = _merge(dst[k], v, f"{path}{k}/")
+            sub_loaded, sub_skipped = _merge(dst[k], v, f"{path}{k}/", dtype)
             loaded += sub_loaded
             skipped += sub_skipped
         else:
             if np.shape(dst[k]) != np.shape(v):
                 skipped.append(f"{path}{k} (shape {np.shape(v)} vs {np.shape(dst[k])})")
                 continue
-            dst[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
+            dst[k] = np.asarray(v, dtype=dtype or np.asarray(dst[k]).dtype)
             loaded += 1
     return loaded, skipped
 
 
 def merge_pretrained(variables: dict, converted: dict,
-                     submodule: str | None = None, verbose: bool = True) -> dict:
+                     submodule: str | None = None, verbose: bool = True,
+                     dtype=None) -> dict:
     """Load converted weights into a freshly-initialized variable tree.
 
     ``submodule`` targets a nested scope (e.g. ``"context_path"`` to load a
     torchvision ResNet into BiSeNet's backbone).  Non-strict, like the
-    reference's ``load_state_dict(strict=False)``.
+    reference's ``load_state_dict(strict=False)``.  ``dtype`` overrides the
+    destination leaf dtype (float64 parity tests pass ``np.float64`` so
+    converted weights are not rounded to the f32 init dtype).
     """
     import jax
 
@@ -151,7 +155,7 @@ def merge_pretrained(variables: dict, converted: dict,
             if submodule not in dst:
                 continue
             dst = dst[submodule]
-        loaded, skipped = _merge(dst, converted[collection])
+        loaded, skipped = _merge(dst, converted[collection], dtype=dtype)
         total_loaded += loaded
         all_skipped += skipped
     if verbose:

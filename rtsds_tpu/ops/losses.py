@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from rtsds_tpu.utils.dtypes import at_least_f32
+
 
 def cross_entropy(logits, labels, ignore_index: int | None = None):
     """Mean cross entropy over non-ignored pixels.
@@ -19,7 +21,7 @@ def cross_entropy(logits, labels, ignore_index: int | None = None):
     'mean' reduction: the sum of per-pixel NLL divided by the count of
     non-ignored pixels.
     """
-    logits = logits.astype(jnp.float32)
+    logits = at_least_f32(logits)
     logp = jax.nn.log_softmax(logits, axis=-1)
     labels = labels.astype(jnp.int32)
     # one-hot masked sum instead of take_along_axis: a gather's backward is
@@ -30,7 +32,7 @@ def cross_entropy(logits, labels, ignore_index: int | None = None):
     ll = jnp.sum(logp * onehot, axis=-1)
     if ignore_index is None:
         return -jnp.mean(ll)
-    mask = (labels != ignore_index).astype(jnp.float32)
+    mask = (labels != ignore_index).astype(logp.dtype)
     denom = jnp.maximum(mask.sum(), 1.0)
     return -(ll * mask).sum() / denom
 
@@ -38,8 +40,8 @@ def cross_entropy(logits, labels, ignore_index: int | None = None):
 def bce_with_logits(logits, targets):
     """Binary cross entropy with logits, mean reduction (torch
     ``BCEWithLogitsLoss``): ``max(x,0) - x*y + log(1+exp(-|x|))``."""
-    x = logits.astype(jnp.float32)
-    y = jnp.broadcast_to(jnp.asarray(targets, jnp.float32), x.shape)
+    x = at_least_f32(logits)
+    y = jnp.broadcast_to(jnp.asarray(targets, x.dtype), x.shape)
     loss = jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x)))
     return loss.mean()
 

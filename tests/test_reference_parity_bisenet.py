@@ -1,174 +1,36 @@
 """END-TO-END parity against the ACTUAL reference BiSeNet.
 
-The reference's context path imports torchvision
-(``/root/reference/models/bisenet/build_contextpath.py:1-3``), which is not
-installed here.  We inject a minimal fake ``torchvision.models`` exposing
-``resnet18``/``resnet101`` factories with the standard torchvision attribute
-layout (``conv1/bn1/relu/maxpool/layer1..4``) -- the only attributes the
-reference wrapper reads (``build_contextpath.py:8-16``).  Then the REAL
-``build_bisenet.py:84-172`` is imported from disk, its randomly-initialized
-state dict is converted through our checkpoint pipeline
+The REAL ``build_bisenet.py:84-172`` is imported from disk (torchvision
+faked, see ``reference_loader.py``), its randomly-initialized state dict is
+converted through our checkpoint pipeline
 (``rtsds_tpu/models/pretrained.py``), and our Flax model must reproduce the
 reference logits -- eval single-tensor AND train 3-tuple with aux heads.
 
-This closes VERDICT round-1 gap #1: the flagship model's fidelity gate now
-runs against reference code, not a reimplementation.  The reference tree is
+This closes VERDICT round-1 gap #1: the flagship model's fidelity gate runs
+against reference code, not a reimplementation.  The reference tree is
 imported read-only from disk; nothing is copied.
 """
-
-import importlib.util
-import os
-import sys
-import types
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-torch = pytest.importorskip("torch")
-nn = torch.nn
-
-REF_BISENET_DIR = "/root/reference/models/bisenet"
-
-
-# --- minimal torchvision-layout ResNets (attribute names only; the
-# reference wrapper defines its own forward over these attributes) ---------
-
-class _BasicBlock(nn.Module):
-    expansion = 1
-
-    def __init__(self, cin, width, stride=1):
-        super().__init__()
-        self.conv1 = nn.Conv2d(cin, width, 3, stride, 1, bias=False)
-        self.bn1 = nn.BatchNorm2d(width)
-        self.relu = nn.ReLU(inplace=True)
-        self.conv2 = nn.Conv2d(width, width, 3, 1, 1, bias=False)
-        self.bn2 = nn.BatchNorm2d(width)
-        self.downsample = None
-        if stride != 1 or cin != width:
-            self.downsample = nn.Sequential(
-                nn.Conv2d(cin, width, 1, stride, bias=False),
-                nn.BatchNorm2d(width))
-
-    def forward(self, x):
-        identity = x if self.downsample is None else self.downsample(x)
-        out = self.relu(self.bn1(self.conv1(x)))
-        out = self.bn2(self.conv2(out))
-        return self.relu(out + identity)
-
-
-class _Bottleneck(nn.Module):
-    expansion = 4
-
-    def __init__(self, cin, width, stride=1):
-        super().__init__()
-        cout = width * self.expansion
-        self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
-        self.bn1 = nn.BatchNorm2d(width)
-        self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
-        self.bn2 = nn.BatchNorm2d(width)
-        self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
-        self.bn3 = nn.BatchNorm2d(cout)
-        self.relu = nn.ReLU(inplace=True)
-        self.downsample = None
-        if stride != 1 or cin != cout:
-            self.downsample = nn.Sequential(
-                nn.Conv2d(cin, cout, 1, stride, bias=False),
-                nn.BatchNorm2d(cout))
-
-    def forward(self, x):
-        identity = x if self.downsample is None else self.downsample(x)
-        out = self.relu(self.bn1(self.conv1(x)))
-        out = self.relu(self.bn2(self.conv2(out)))
-        out = self.bn3(self.conv3(out))
-        return self.relu(out + identity)
-
-
-class _FakeTorchvisionResNet(nn.Module):
-    def __init__(self, block, layers):
-        super().__init__()
-        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
-        self.bn1 = nn.BatchNorm2d(64)
-        self.relu = nn.ReLU(inplace=True)
-        self.maxpool = nn.MaxPool2d(3, 2, 1)
-        cin = 64
-        for i, (width, n) in enumerate(zip((64, 128, 256, 512), layers)):
-            blocks = []
-            for b in range(n):
-                stride = 2 if (i > 0 and b == 0) else 1
-                blocks.append(block(cin, width, stride))
-                cin = width * block.expansion
-            setattr(self, f"layer{i + 1}", nn.Sequential(*blocks))
-
-
-def _install_fake_torchvision(monkeypatch):
-    tv = types.ModuleType("torchvision")
-    tv_models = types.ModuleType("torchvision.models")
-    tv_models.resnet18 = lambda pretrained=False, **k: _FakeTorchvisionResNet(
-        _BasicBlock, [2, 2, 2, 2])
-    tv_models.resnet101 = lambda pretrained=False, **k: _FakeTorchvisionResNet(
-        _Bottleneck, [3, 4, 23, 3])
-    tv.models = tv_models
-    monkeypatch.setitem(sys.modules, "torchvision", tv)
-    monkeypatch.setitem(sys.modules, "torchvision.models", tv_models)
-
-
-def _load_reference_bisenet(monkeypatch):
-    if not os.path.isdir(REF_BISENET_DIR):
-        pytest.skip("reference tree not mounted")
-    _install_fake_torchvision(monkeypatch)
-    pkg = types.ModuleType("ref_bisenet_pkg")
-    pkg.__path__ = [REF_BISENET_DIR]
-    monkeypatch.setitem(sys.modules, "ref_bisenet_pkg", pkg)
-    spec = importlib.util.spec_from_file_location(
-        "ref_bisenet_pkg.build_bisenet",
-        os.path.join(REF_BISENET_DIR, "build_bisenet.py"))
-    mod = importlib.util.module_from_spec(spec)
-    monkeypatch.setitem(sys.modules, "ref_bisenet_pkg.build_bisenet", mod)
-    spec.loader.exec_module(mod)
-    return mod
-
-
-# torch module names in the reference -> our Flax scope names
-_RENAMES = {
-    "saptial_path": "spatial_path",
-    "attention_refinement_module1": "arm1",
-    "attention_refinement_module2": "arm2",
-    "feature_fusion_module": "ffm",
-}
-
-
-def _adapt_state_dict(state_dict):
-    out = {}
-    for k, v in state_dict.items():
-        if k.startswith("context_path.features."):
-            continue  # duplicate aliases of context_path.conv1/bn1/layer1..4
-        head, _, rest = k.partition(".")
-        out[f"{_RENAMES.get(head, head)}.{rest}" if rest else
-            _RENAMES.get(head, head)] = v
-    return out
-
-
-def _randomize_bn_stats(model, gen):
-    """Give every BN non-trivial affine params and running stats so the
-    parity check exercises the batch_stats conversion, not just 0/1."""
-    with torch.no_grad():
-        for m in model.modules():
-            if isinstance(m, nn.BatchNorm2d):
-                m.weight.uniform_(0.5, 1.5, generator=gen)
-                m.bias.uniform_(-0.2, 0.2, generator=gen)
-                m.running_mean.uniform_(-0.5, 0.5, generator=gen)
-                m.running_var.uniform_(0.5, 1.5, generator=gen)
+from reference_loader import (
+    adapt_bisenet_state_dict,
+    load_reference_bisenet,
+    randomize_bn_stats,
+    torch,
+)
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize("backbone", ["resnet18", "resnet101"])
 def test_bisenet_matches_actual_reference(monkeypatch, backbone, rng):
-    ref_mod = _load_reference_bisenet(monkeypatch)
+    ref_mod = load_reference_bisenet(monkeypatch)
     torch.manual_seed(0)
     ref_model = ref_mod.BiSeNet(19, backbone)
-    _randomize_bn_stats(ref_model, torch.Generator().manual_seed(1))
+    randomize_bn_stats(ref_model, torch.Generator().manual_seed(1))
 
     # batch 2: torch BN refuses train-mode stats over a single value per
     # channel (the ARM gate is (N, C, 1, 1) after the global pool)
@@ -193,7 +55,7 @@ def test_bisenet_matches_actual_reference(monkeypatch, backbone, rng):
     # converter COPIES (a converter that aliased torch storage would see
     # its batch_stats corrupted and fail the eval comparison).
     converted = convert_torch_state_dict(
-        _adapt_state_dict(ref_model.state_dict()))
+        adapt_bisenet_state_dict(ref_model.state_dict()))
     variables = merge_pretrained(variables, converted, verbose=False)
 
     # Train mode recomputes every BN's batch statistics; in f32 the
