@@ -12,13 +12,27 @@
 // Exposed through ctypes (rtsds_tpu/data/native.py); every call releases
 // the GIL, so the loader's thread pool gets real parallelism.
 //
-// Build: g++ -O3 -shared -fPIC -o librtsds_host_ops.so rtsds_host_ops.cpp
+//   * threaded PNG batch decode (libpng): decode + resize N files directly
+//     into a preallocated NHWC batch buffer with an internal thread pool --
+//     one C call per batch, zero GIL contention, no Python-object traffic.
+//     This replaces the decode throughput the reference buys with 4
+//     DataLoader worker processes (main.py:101-106).
+//
+// Build: g++ -O3 -shared -fPIC -o librtsds_host_ops.so rtsds_host_ops.cpp -lpng -lz
 
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
 #include <algorithm>
+#include <atomic>
 #include <cmath>
+#include <functional>
+#include <thread>
 #include <vector>
+
+#ifndef RTSDS_NO_PNG
+#include <png.h>
+#endif
 
 extern "C" {
 
@@ -151,5 +165,178 @@ void rgb_to_train_ids(const uint8_t* rgb, int64_t num_pixels, int32_t* out) {
         out[p] = g_lut[key];
     }
 }
+
+#ifndef RTSDS_NO_PNG
+// ---------------------------------------------------------------------------
+// PNG decode (libpng).  decode_png: path -> tightly-packed buffer.
+//   want_rgb=1: always expand to RGB8 (palette/gray/16-bit handled).
+//   want_rgb=0: 8-bit grayscale only (label maps); anything else fails so
+//   the caller can fall back (luminance-converting an RGB label would
+//   corrupt class ids).
+// Returns 0 on success.
+// ---------------------------------------------------------------------------
+static int decode_png(const char* path, std::vector<uint8_t>& out,
+                      int& h, int& w, int want_rgb) {
+    FILE* fp = std::fopen(path, "rb");
+    if (!fp) return -1;
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
+                                             nullptr, nullptr, nullptr);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (!png || !info) {
+        if (png) png_destroy_read_struct(&png, &info, nullptr);
+        std::fclose(fp);
+        return -2;
+    }
+    if (setjmp(png_jmpbuf(png))) {  // libpng error -> jump here
+        png_destroy_read_struct(&png, &info, nullptr);
+        std::fclose(fp);
+        return -3;
+    }
+    png_init_io(png, fp);
+    png_read_info(png, info);
+    w = static_cast<int>(png_get_image_width(png, info));
+    h = static_cast<int>(png_get_image_height(png, info));
+    const int color = png_get_color_type(png, info);
+    const int depth = png_get_bit_depth(png, info);
+
+    if (want_rgb) {
+        if (depth == 16) png_set_strip_16(png);
+        if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+        if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
+            png_set_expand_gray_1_2_4_to_8(png);
+        if (png_get_valid(png, info, PNG_INFO_tRNS))
+            png_set_tRNS_to_alpha(png);
+        if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
+            png_set_gray_to_rgb(png);
+        if (color & PNG_COLOR_MASK_ALPHA ||
+            png_get_valid(png, info, PNG_INFO_tRNS))
+            png_set_strip_alpha(png);
+    } else {
+        if (color != PNG_COLOR_TYPE_GRAY || depth > 8) {
+            png_destroy_read_struct(&png, &info, nullptr);
+            std::fclose(fp);
+            return -4;  // not a plain 8-bit label map; caller falls back
+        }
+        if (depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+    }
+    // interlaced files need the multi-pass handler
+    png_set_interlace_handling(png);
+    png_read_update_info(png, info);
+    const size_t rowbytes = png_get_rowbytes(png, info);
+    const int channels = want_rgb ? 3 : 1;
+    if (rowbytes != static_cast<size_t>(w) * channels) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        std::fclose(fp);
+        return -5;
+    }
+    out.resize(static_cast<size_t>(h) * rowbytes);
+    std::vector<png_bytep> rows(h);
+    for (int y = 0; y < h; ++y) rows[y] = out.data() + static_cast<size_t>(y) * rowbytes;
+    png_read_image(png, rows.data());
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return 0;
+}
+
+static void nearest_indices(int in_size, int out_size, std::vector<int>& idx) {
+    idx.resize(out_size);
+    for (int i = 0; i < out_size; ++i)
+        idx[i] = std::min(static_cast<int>(
+            std::floor(i * static_cast<double>(in_size) / out_size)),
+            in_size - 1);
+}
+
+// ---------------------------------------------------------------------------
+// Threaded batch decode.  One call per batch:
+//   decode_batch_images: PNG -> RGB8 -> antialiased resize -> out[n] slot.
+//   decode_batch_labels: PNG -> labels -> nearest resize -> int32 out[n].
+//     mode 0: 8-bit grayscale label map.
+//     mode 1: RGB-coded labels -> nearest resize -> 24-bit LUT remap
+//             (build_remap_lut must have been called).
+// status[n]: 0 ok, nonzero = per-item decode error (caller falls back for
+// those items).  Returns the number of failed items.
+// ---------------------------------------------------------------------------
+static int run_pool_impl(int n, int n_threads,
+                         const std::function<void(int)>& work) {
+    const int T = std::max(1, std::min(n_threads, n));
+    if (T == 1) {
+        for (int i = 0; i < n; ++i) work(i);
+        return 0;
+    }
+    std::atomic<int> next{0};
+    std::vector<std::thread> threads;
+    threads.reserve(T);
+    for (int t = 0; t < T; ++t)
+        threads.emplace_back([&] {
+            for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1))
+                work(i);
+        });
+    for (auto& th : threads) th.join();
+    return 0;
+}
+
+int decode_batch_images(const char** paths, int n, int out_h, int out_w,
+                        uint8_t* out, int8_t* status, int n_threads) {
+    run_pool_impl(n, n_threads, [&](int i) {
+        std::vector<uint8_t> raw;
+        int h = 0, w = 0;
+        int rc = decode_png(paths[i], raw, h, w, /*want_rgb=*/1);
+        status[i] = static_cast<int8_t>(rc);
+        if (rc != 0) return;
+        uint8_t* slot = out + static_cast<size_t>(i) * out_h * out_w * 3;
+        if (h == out_h && w == out_w) {
+            std::memcpy(slot, raw.data(), raw.size());
+        } else {
+            resize_bilinear_aa_u8(raw.data(), h, w, slot, out_h, out_w, 3);
+        }
+    });
+    int failures = 0;
+    for (int i = 0; i < n; ++i) failures += status[i] != 0;
+    return failures;
+}
+
+int decode_batch_labels(const char** paths, int n, int out_h, int out_w,
+                        int32_t* out, int8_t* status, int n_threads,
+                        int mode) {
+    run_pool_impl(n, n_threads, [&](int i) {
+        std::vector<uint8_t> raw;
+        int h = 0, w = 0;
+        int rc = decode_png(paths[i], raw, h, w, /*want_rgb=*/mode == 1);
+        status[i] = static_cast<int8_t>(rc);
+        if (rc != 0) return;
+        int32_t* slot = out + static_cast<size_t>(i) * out_h * out_w;
+        std::vector<int> xs, ys;
+        nearest_indices(w, out_w, xs);
+        nearest_indices(h, out_h, ys);
+        if (mode == 1) {  // RGB-coded: nearest-resize RGB, then LUT remap
+            if (!g_lut) { status[i] = -6; return; }
+            for (int y = 0; y < out_h; ++y) {
+                const uint8_t* row = raw.data()
+                    + static_cast<size_t>(ys[y]) * w * 3;
+                int32_t* orow = slot + static_cast<size_t>(y) * out_w;
+                for (int x = 0; x < out_w; ++x) {
+                    const uint8_t* p = row + xs[x] * 3;
+                    const uint32_t key = (static_cast<uint32_t>(p[0]) << 16) |
+                                         (static_cast<uint32_t>(p[1]) << 8) |
+                                         p[2];
+                    orow[x] = g_lut[key];
+                }
+            }
+        } else {  // grayscale ids
+            for (int y = 0; y < out_h; ++y) {
+                const uint8_t* row = raw.data()
+                    + static_cast<size_t>(ys[y]) * w;
+                int32_t* orow = slot + static_cast<size_t>(y) * out_w;
+                for (int x = 0; x < out_w; ++x)
+                    orow[x] = row[xs[x]];
+            }
+        }
+    });
+    int failures = 0;
+    for (int i = 0; i < n; ++i) failures += status[i] != 0;
+    return failures;
+}
+
+#endif  // RTSDS_NO_PNG
 
 }  // extern "C"

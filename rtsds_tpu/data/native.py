@@ -26,13 +26,15 @@ _remap_lut_key = None
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC]
+    for extra in (["-lpng", "-lz"], ["-DRTSDS_NO_PNG"]):
+        try:
+            subprocess.run(base + extra, check=True, capture_output=True,
+                           timeout=120)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def load() -> ctypes.CDLL | None:
@@ -61,12 +63,89 @@ def load() -> ctypes.CDLL | None:
             i32p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int]
         lib.build_remap_lut.argtypes = [u8p, ctypes.c_int, ctypes.c_int]
         lib.rgb_to_train_ids.argtypes = [u8p, ctypes.c_int64, i32p]
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        ppc = ctypes.POINTER(ctypes.c_char_p)
+        try:  # PNG batch decode (absent when built with -DRTSDS_NO_PNG)
+            lib.decode_batch_images.argtypes = [
+                ppc, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p, i8p,
+                ctypes.c_int]
+            lib.decode_batch_images.restype = ctypes.c_int
+            lib.decode_batch_labels.argtypes = [
+                ppc, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i8p,
+                ctypes.c_int, ctypes.c_int]
+            lib.decode_batch_labels.restype = ctypes.c_int
+            lib._has_png = True
+        except AttributeError:
+            lib._has_png = False
         _lib = lib
         return lib
 
 
 def available() -> bool:
     return load() is not None
+
+
+def png_available() -> bool:
+    lib = load()
+    return lib is not None and getattr(lib, "_has_png", False)
+
+
+def _path_array(paths: list[str]):
+    arr = (ctypes.c_char_p * len(paths))()
+    arr[:] = [p.encode() for p in paths]
+    return arr
+
+
+def decode_image_batch(paths: list[str], size: tuple[int, int],
+                       n_threads: int = 8) -> np.ndarray | None:
+    """Threaded C++ decode+antialias-resize of N PNGs into one NHWC uint8
+    batch.  Returns None when the native PNG path is unavailable or any
+    file fails (caller falls back to the per-item Python path)."""
+    if not png_available() or not paths:
+        return None
+    lib = load()
+    n = len(paths)
+    dh, dw = size
+    out = np.empty((n, dh, dw, 3), dtype=np.uint8)
+    status = np.zeros((n,), dtype=np.int8)
+    failures = lib.decode_batch_images(
+        _path_array(paths), n, dh, dw, _u8p(out),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), n_threads)
+    return out if failures == 0 else None
+
+
+def decode_label_batch(paths: list[str], size: tuple[int, int],
+                       rgb: bool = False, n_threads: int = 8,
+                       color_table: np.ndarray | None = None,
+                       default_id: int = 255) -> np.ndarray | None:
+    """Threaded C++ decode+nearest-resize of N label PNGs -> (N, H, W)
+    int32.  ``rgb=True`` additionally remaps RGB-coded labels through the
+    24-bit LUT (the GTA5 ``in_getting_decoder`` path).  Returns None when
+    unavailable or any file fails."""
+    global _remap_lut_key
+    if not png_available() or not paths:
+        return None
+    lib = load()
+    if rgb:
+        from rtsds_tpu.utils.colors import class_colors_for_remap
+
+        if color_table is None:
+            color_table = class_colors_for_remap()
+        table = np.ascontiguousarray(color_table, dtype=np.uint8)
+        lut_key = (table.tobytes(), default_id)
+        with _lib_lock:
+            if _remap_lut_key != lut_key:
+                lib.build_remap_lut(_u8p(table), table.shape[0], default_id)
+                _remap_lut_key = lut_key
+    n = len(paths)
+    dh, dw = size
+    out = np.empty((n, dh, dw), dtype=np.int32)
+    status = np.zeros((n,), dtype=np.int8)
+    failures = lib.decode_batch_labels(
+        _path_array(paths), n, dh, dw, _i32p(out),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), n_threads,
+        1 if rgb else 0)
+    return out if failures == 0 else None
 
 
 def _u8p(a):

@@ -103,6 +103,25 @@ class SegmentationDataset:
             label = decode_label(s.label, self.image_size)
         return image, label
 
+    def load_batch(self, idxs, pool=None):
+        """Whole-batch fast path: one C++ call decodes + resizes all PNGs
+        with an internal thread pool (no GIL, no per-item Python).  Falls
+        back to per-item decode (optionally via ``pool``) whenever the
+        native PNG path is unavailable or any file fails."""
+        from rtsds_tpu.data import native
+
+        paths_img = [self.samples[int(i)].image for i in idxs]
+        paths_lbl = [self.samples[int(i)].label for i in idxs]
+        images = native.decode_image_batch(paths_img, self.image_size)
+        labels = native.decode_label_batch(paths_lbl, self.image_size,
+                                           rgb=self.decode_label_colors)
+        if images is not None and labels is not None:
+            return images, labels
+        mapper = pool.map if pool is not None else map
+        pairs = list(mapper(self.__getitem__, idxs))
+        return (np.stack([p[0] for p in pairs]),
+                np.stack([p[1] for p in pairs]))
+
 
 class DataLoader:
     """Shuffling, batching, threaded-prefetch loader.
@@ -144,6 +163,9 @@ class DataLoader:
                 return
 
     def _load_batch(self, pool: ThreadPoolExecutor, idxs: np.ndarray):
+        load_batch = getattr(self.dataset, "load_batch", None)
+        if load_batch is not None:
+            return load_batch(idxs, pool)
         pairs = list(pool.map(self.dataset.__getitem__, idxs))
         images = np.stack([p[0] for p in pairs])
         labels = np.stack([p[1] for p in pairs])

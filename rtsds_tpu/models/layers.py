@@ -81,16 +81,17 @@ class TorchBatchNorm(nn.Module):
                                lambda s: jnp.ones(s, jnp.float32),
                                (features,))
         # statistics at >= f32 even when compute dtype is bf16 (and f64 in
-        # float64 parity runs)
+        # float64 parity runs); the convert fuses into the reduction, so no
+        # f32 copy of the activation is materialized
         stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
-        xs = x.astype(stat_dtype)
         if self.use_running_average:
             mean = ra_mean.value.astype(stat_dtype)
             var = ra_var.value.astype(stat_dtype)
         else:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xs, axis=axes)
-            var = jnp.mean(jnp.square(xs), axis=axes) - jnp.square(mean)
+            mean = jnp.mean(x, axis=axes, dtype=stat_dtype)
+            var = jnp.mean(jnp.square(x.astype(stat_dtype)), axis=axes) \
+                - jnp.square(mean)
             if not self.is_initializing():
                 n = x.size // features
                 bessel = n / max(n - 1, 1)
@@ -102,9 +103,16 @@ class TorchBatchNorm(nn.Module):
                                  + (1.0 - m) * mean).astype(ra_dtype)
                 ra_var.value = (m * ra_var.value
                                 + (1.0 - m) * var * bessel).astype(ra_dtype)
+        # normalization arithmetic in the COMPUTE dtype (per-channel inv/
+        # mean are f32-precomputed (C,) vectors, cast once): avoids
+        # materializing an f32 copy of the bf16 activation -- measured
+        # ~4 ms/step of f32 convert+subtract+multiply traffic in the bf16
+        # 720x1280 b4 backward.  f32/f64 inputs keep full-precision math.
+        compute_dtype = self.dtype or x.dtype
         inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(stat_dtype)
-        y = (xs - mean) * inv + bias.astype(stat_dtype)
-        return y.astype(self.dtype or x.dtype)
+        y = (x.astype(compute_dtype) - mean.astype(compute_dtype)) \
+            * inv.astype(compute_dtype) + bias.astype(compute_dtype)
+        return y
 
 
 def batch_norm(use_running_average: bool, name: str | None = None,
