@@ -103,11 +103,14 @@ def datasets_loader(config, is_augmented: bool, synthetic: bool = False,
     # GTA5 [augment] + resize + normalize; labels nearest + clamp.
     # Host loaders already resize to static size, so the device transform
     # resize is an identity no-op folded away by XLA.
+    correct = bool(config.data.get("correct_preprocessing", False))
     cs_transform = jax.jit(make_transform(cs_size, cs["num_classes"],
-                                          antialias=True))
+                                          antialias=True,
+                                          correct_preprocessing=correct))
     gta5_transform = jax.jit(make_transform(gta5_size, gta5["num_classes"],
                                             antialias=False,
-                                            augment_cfg=aug_cfg))
+                                            augment_cfg=aug_cfg,
+                                            correct_preprocessing=correct))
 
     mk = partial(loader_cls, num_workers=cs["num_workers"], seed=seed)
     return {

@@ -148,6 +148,12 @@ _DEFAULTS: dict = {
             "batch_size": 4,
             "num_workers": 4,
         },
+        # ours: opt out of the reference's normalize-without-/255 quirk
+        # (main.py:71 normalizes 0-255 floats with ImageNet mean/std).
+        # False reproduces the reference bit-for-bit; True is the standard
+        # /255-first preprocessing.  Serving must match training: pass the
+        # same flag to serve.Predictor(correct_preprocessing=...).
+        "correct_preprocessing": False,
     },
     "meta": {
         "class_names": [
