@@ -91,6 +91,8 @@ def program_flops(fn, *args) -> float:
     try:
         lowered = jax.jit(fn).lower(*args)
         costs = lowered.cost_analysis()
+        if costs is None:  # some backends only cost the compiled module
+            costs = lowered.compile().cost_analysis()
         if isinstance(costs, list):
             costs = costs[0] if costs else {}
         return float(costs.get("flops", float("nan")))
@@ -116,7 +118,7 @@ def bisenet_inference_benchmark(image_size=(1024, 2048), batch_size: int = 1,
     from rtsds_tpu.models.bisenet import BiSeNet
 
     model = BiSeNet(num_classes=num_classes, context_path=context_path,
-                    dtype=dtype)
+                    dtype=dtype, output_f32=(mode != "masks"))
     key = jax.random.key(0)
     x = jax.random.normal(key, (batch_size, *image_size, 3), dtype=jnp.float32)
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(key, x)
@@ -149,7 +151,8 @@ def deeplab_inference_benchmark(image_size=(512, 1024), batch_size: int = 4,
     """DeepLabV2-ResNet101 serving-path bench (BASELINE.md config 2 shape)."""
     from rtsds_tpu.models.deeplabv2 import DeepLabV2
 
-    model = DeepLabV2(num_classes=num_classes, dtype=dtype)
+    model = DeepLabV2(num_classes=num_classes, dtype=dtype,
+                      output_f32=False)
     key = jax.random.key(0)
     x = jax.random.normal(key, (batch_size, *image_size, 3), dtype=jnp.float32)
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(key, x)

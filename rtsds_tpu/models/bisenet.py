@@ -111,6 +111,11 @@ class BiSeNet(nn.Module):
     # rematerialize backbone blocks in the backward pass (training memory)
     remat: bool = False
     dtype: jnp.dtype | None = None
+    # Cast final logits up to f32 (needed for loss math / logit consumers).
+    # Serving paths that immediately argmax should set False: materializing
+    # f32 logits at 1024x2048x19 costs ~2x the bandwidth of the argmax
+    # itself (measured ~10 ms/48-image batch on v5e).
+    output_f32: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -154,7 +159,8 @@ class BiSeNet(nn.Module):
                 result = upsample_bilinear(final_conv(result), 8)
             else:
                 result = final_conv(upsample_bilinear(result, 8))
-        result = at_least_f32(result)
+        if self.output_f32:
+            result = at_least_f32(result)
 
         if train:
             return result, cx1_sup, cx2_sup

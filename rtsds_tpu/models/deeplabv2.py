@@ -61,6 +61,8 @@ class DeepLabV2(nn.Module):
     num_classes: int = 19
     layers: tuple[int, ...] = (3, 4, 23, 3)
     dtype: jnp.dtype | None = None
+    # serving paths that immediately argmax can skip the f32 logits cast
+    output_f32: bool = True
     # rematerialize bottleneck blocks in the backward pass (training memory)
     remat: bool = False
 
@@ -96,7 +98,9 @@ class DeepLabV2(nn.Module):
                 )(x, train)
 
         x = ASPP(self.num_classes, dtype=self.dtype, name="layer6")(x)
-        x = at_least_f32(resize_bilinear(x, in_size))
+        x = resize_bilinear(x, in_size)
+        if self.output_f32:
+            x = at_least_f32(x)
 
         if train:
             return x, None, None

@@ -40,9 +40,11 @@ class Predictor:
                  correct_preprocessing: bool = False):
         if model_name == "bisenet":
             self.model = BiSeNet(num_classes=num_classes,
-                                 context_path=backbone, dtype=dtype)
+                                 context_path=backbone, dtype=dtype,
+                                 output_f32=False)
         elif model_name == "deeplab":
-            self.model = DeepLabV2(num_classes=num_classes, dtype=dtype)
+            self.model = DeepLabV2(num_classes=num_classes, dtype=dtype,
+                                   output_f32=False)
         else:
             raise ValueError(model_name)
         self.image_size = tuple(image_size)
