@@ -128,3 +128,68 @@ class Predictor:
         if "batch_stats" in tree:
             variables["batch_stats"] = tree["batch_stats"]
         return cls(variables=variables, **kwargs)
+
+
+def main(argv=None):
+    """Inference CLI: ``python -m rtsds_tpu.serve [--checkpoint DIR] img...``
+
+    Decodes the given images, resizes them to the compiled size, runs the
+    predictor, and writes ``<name>_mask.png`` (trainIds) or
+    ``<name>_color.png`` (colorized) next to ``--out``.  Without
+    ``--checkpoint`` the model runs from random init (smoke / perf use).
+    """
+    import argparse
+    import os
+
+    parser = argparse.ArgumentParser(
+        description="RTSDS-TPU real-time segmentation inference")
+    parser.add_argument("images", nargs="+", help="input image paths (PNG)")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="ModelCheckpoint directory (best/latest step)")
+    parser.add_argument("--model", type=str, default="bisenet",
+                        choices=["bisenet", "deeplab"])
+    parser.add_argument("--backbone", type=str, default="resnet18")
+    parser.add_argument("--size", type=str, default="1024, 2048",
+                        help='inference size "H, W"')
+    parser.add_argument("--out", type=str, default=".",
+                        help="output directory")
+    parser.add_argument("--colored", action="store_true",
+                        help="write colorized masks instead of trainIds")
+    parser.add_argument("--correct_preprocessing", action="store_true",
+                        help="standard /255 preprocessing (must match how "
+                             "the checkpoint was trained)")
+    parser.add_argument("--num_classes", type=int, default=19)
+    args = parser.parse_args(argv)
+
+    from rtsds_tpu.data.pipeline import decode_image
+
+    size = tuple(int(v) for v in args.size.replace(" ", "").split(","))
+    kwargs = dict(model_name=args.model, image_size=size,
+                  batch_size=min(len(args.images), 8),
+                  num_classes=args.num_classes, backbone=args.backbone,
+                  correct_preprocessing=args.correct_preprocessing)
+    if args.checkpoint:
+        predictor = Predictor.from_checkpoint(args.checkpoint, **kwargs)
+    else:
+        print("serve: no --checkpoint given, running from RANDOM init")
+        predictor = Predictor(**kwargs)
+
+    os.makedirs(args.out, exist_ok=True)
+    frames = np.stack([decode_image(p, size) for p in args.images])
+    outputs = (predictor.predict_colored(frames) if args.colored
+               else predictor.predict(frames))
+    from PIL import Image
+
+    for path, out in zip(args.images, outputs):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        suffix = "_color.png" if args.colored else "_mask.png"
+        dst = os.path.join(args.out, stem + suffix)
+        if args.colored:
+            Image.fromarray(out.astype(np.uint8)).save(dst)
+        else:
+            Image.fromarray(out.astype(np.uint8), mode="L").save(dst)
+        print(f"wrote {dst}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+"""Inference CLI smoke: ``python -m rtsds_tpu.serve`` writes mask PNGs."""
+
+import numpy as np
+from PIL import Image
+
+from rtsds_tpu import serve
+
+
+def test_serve_cli_writes_masks(tmp_path):
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(2):
+        img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+        p = tmp_path / f"frame{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+
+    out = tmp_path / "out"
+    serve.main([*paths, "--size", "32, 64", "--out", str(out)])
+    for i in range(2):
+        mask = np.asarray(Image.open(out / f"frame{i}_mask.png"))
+        assert mask.shape == (32, 64)
+        assert mask.max() < 19
+
+    serve.main([paths[0], "--size", "32, 64", "--out", str(out),
+                "--colored"])
+    colored = np.asarray(Image.open(out / "frame0_color.png"))
+    assert colored.shape == (32, 64, 3)
