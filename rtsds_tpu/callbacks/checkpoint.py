@@ -165,6 +165,22 @@ class ModelCheckpoint(Callback):
         else:
             self._manager.save(self._epoch, self._get_states(), monitor=value)
 
+    def save_emergency(self) -> bool:
+        """Best-effort snapshot when training is about to die (the loops
+        call this from their exception path -- SURVEY §5.3: the reference
+        loses the run on any crash).  Returns True if a checkpoint was
+        written; never raises."""
+        if self._manager is None or self._get_states is None:
+            return False
+        try:
+            self._manager.save(self._epoch, self._get_states())
+            print(f"Emergency checkpoint saved at epoch {self._epoch} "
+                  f"({self.save_dir})")
+            return True
+        except Exception as e:  # the original error must propagate instead
+            print(f"emergency checkpoint failed: {e}")
+            return False
+
     def on_train_end(self, logs=None):
         if self._manager is not None:
             self._manager.close()

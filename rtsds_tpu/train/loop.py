@@ -89,21 +89,30 @@ def supervised_fit(state, train_step, make_train_batches: Callable,
     eval_step = make_eval_step(state.apply_fn, num_classes,
                                return_preds=plot_cbs)
     history = []
-    for epoch in range(epochs):
+    try:
+        for epoch in range(epochs):
+            if checkpoint is not None:
+                checkpoint.attach(lambda: {"model": state})
+                checkpoint._epoch = epoch
+            state, train_logs = train_epoch(state, train_step,
+                                            make_train_batches(epoch), epoch,
+                                            callbacks)
+            if do_validation and epoch % do_validation == 0:
+                miou, per_class = validate(
+                    state, make_val_batches(epoch), num_classes,
+                    class_names=class_names, epoch=epoch, callbacks=callbacks,
+                    detailed_report=class_names is not None,
+                    eval_step=eval_step)
+                history.append({"epoch": epoch, **train_logs,
+                                "validation_mIoU": miou})
+            if any(getattr(cb, "should_stop", False) for cb in callbacks):
+                break
+    except Exception:
+        # the reference loses the whole run on any crash (SURVEY §5.3);
+        # snapshot the live state before propagating so --resume works
         if checkpoint is not None:
-            checkpoint.attach(lambda: {"model": state})
-        state, train_logs = train_epoch(state, train_step,
-                                        make_train_batches(epoch), epoch,
-                                        callbacks)
-        if do_validation and epoch % do_validation == 0:
-            miou, per_class = validate(
-                state, make_val_batches(epoch), num_classes,
-                class_names=class_names, epoch=epoch, callbacks=callbacks,
-                detailed_report=class_names is not None, eval_step=eval_step)
-            history.append({"epoch": epoch, **train_logs,
-                            "validation_mIoU": miou})
-        if any(getattr(cb, "should_stop", False) for cb in callbacks):
-            break
+            checkpoint.save_emergency()
+        raise
     _fan_out(callbacks, "on_train_end")
     return state, history
 
@@ -131,66 +140,73 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
                  "loss_disc_source", "loss_disc_target"]
     history = []
 
-    for epoch in range(epochs):
-        _fan_out(callbacks, "on_train_begin")
-        if checkpoint is not None:
-            checkpoint._epoch = epoch
-            checkpoint.attach(lambda: {"generator": gen_state,
-                                       "discriminator": dis_state})
-        running = {k: 0.0 for k in loss_keys}
-        correct = 0
-        total = 0
-        pending = None
-        t0 = time.perf_counter()
+    try:
+        for epoch in range(epochs):
+            _fan_out(callbacks, "on_train_begin")
+            if checkpoint is not None:
+                checkpoint._epoch = epoch
+                checkpoint.attach(lambda: {"generator": gen_state,
+                                           "discriminator": dis_state})
+            running = {k: 0.0 for k in loss_keys}
+            correct = 0
+            total = 0
+            pending = None
+            t0 = time.perf_counter()
 
-        def consume(item):
-            nonlocal correct, total
-            i, metrics = item
-            logs = {}
-            for k in loss_keys:
-                if k in metrics:
-                    v = float(metrics[k])
-                    running[k] += v
-                    logs[k] = v
-            correct += int(metrics["correct"])
-            total += int(metrics["total"])
-            _fan_out(callbacks, "on_batch_end", i, logs)
-            # periodic console print (the config `when_print` knob the
-            # reference accepts but never uses, train.py:136)
-            if when_print > 0 and (i + 1) % when_print == 0:
-                print(f"  iter {i + 1}/{iterations}: " + ", ".join(
-                    f"{k}={v:.4f}" for k, v in logs.items()))
+            def consume(item):
+                nonlocal correct, total
+                i, metrics = item
+                logs = {}
+                for k in loss_keys:
+                    if k in metrics:
+                        v = float(metrics[k])
+                        running[k] += v
+                        logs[k] = v
+                correct += int(metrics["correct"])
+                total += int(metrics["total"])
+                _fan_out(callbacks, "on_batch_end", i, logs)
+                # periodic console print (the config `when_print` knob the
+                # reference accepts but never uses, train.py:136)
+                if when_print > 0 and (i + 1) % when_print == 0:
+                    print(f"  iter {i + 1}/{iterations}: " + ", ".join(
+                        f"{k}={v:.4f}" for k, v in logs.items()))
 
-        for i in range(iterations):
-            src_images, src_labels = next(source_iter)
-            tgt_images, _ = next(target_iter)
-            gen_state, dis_state, metrics = da_step(
-                gen_state, dis_state, src_images, src_labels, tgt_images)
+            for i in range(iterations):
+                src_images, src_labels = next(source_iter)
+                tgt_images, _ = next(target_iter)
+                gen_state, dis_state, metrics = da_step(
+                    gen_state, dis_state, src_images, src_labels, tgt_images)
+                if pending is not None:
+                    consume(pending)
+                pending = (i, metrics)
             if pending is not None:
                 consume(pending)
-            pending = (i, metrics)
-        if pending is not None:
-            consume(pending)
 
-        dt = time.perf_counter() - t0
-        summary = {k: running[k] / iterations for k in loss_keys}
-        summary["Generator Accuracy"] = 100.0 * correct / max(total, 1)
-        summary["steps_per_sec"] = iterations / dt
-        print(f"Epoch Results {epoch}")
-        tabular_print(summary)
-        _fan_out(callbacks, "on_epoch_end", epoch, summary)
+            dt = time.perf_counter() - t0
+            summary = {k: running[k] / iterations for k in loss_keys}
+            summary["Generator Accuracy"] = 100.0 * correct / max(total, 1)
+            summary["steps_per_sec"] = iterations / dt
+            print(f"Epoch Results {epoch}")
+            tabular_print(summary)
+            _fan_out(callbacks, "on_epoch_end", epoch, summary)
 
-        if do_validation and epoch % do_validation == 0:
-            print("-" * 50, "Validation", "-" * 50)
-            miou, per_class = validate(
-                gen_state, make_val_batches(epoch), num_classes,
-                class_names=class_names, epoch=epoch, callbacks=callbacks,
-                detailed_report=True, eval_step=eval_step)
-            print("-" * 100)
-            history.append({"epoch": epoch, **summary,
-                            "validation_mIoU": miou})
-        if any(getattr(cb, "should_stop", False) for cb in callbacks):
-            break
+            if do_validation and epoch % do_validation == 0:
+                print("-" * 50, "Validation", "-" * 50)
+                miou, per_class = validate(
+                    gen_state, make_val_batches(epoch), num_classes,
+                    class_names=class_names, epoch=epoch, callbacks=callbacks,
+                    detailed_report=True, eval_step=eval_step)
+                print("-" * 100)
+                history.append({"epoch": epoch, **summary,
+                                "validation_mIoU": miou})
+            if any(getattr(cb, "should_stop", False) for cb in callbacks):
+                break
+
+    except Exception:
+        # snapshot G and D before propagating (SURVEY §5.3)
+        if checkpoint is not None:
+            checkpoint.save_emergency()
+        raise
 
     _fan_out(callbacks, "on_train_end")
     return gen_state, dis_state, history

@@ -105,6 +105,34 @@ def test_supervised_gta5_augmented_smoke(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_supervised_bf16_smoke(tmp_path, monkeypatch):
+    """precision.compute_dtype: bfloat16 — the mixed-precision config runs
+    end to end (params f32, conv/matmul path bf16) with finite losses."""
+    import yaml as _yaml
+
+    from rtsds_tpu import cli
+
+    cfg_path = _tiny_config(tmp_path)
+    cfg = _yaml.safe_load(open(cfg_path))
+    cfg["precision"] = {"compute_dtype": "bfloat16"}
+    open(cfg_path, "w").write(_yaml.safe_dump(cfg))
+
+    recorder = RecorderCallback()
+    orig = cli.build_callbacks
+
+    def patched(config, use_wandb, *a, **k):
+        callbacks, checkpoint = orig(config, use_wandb, *a, **k)
+        return [*callbacks, recorder], checkpoint
+
+    monkeypatch.setattr(cli, "build_callbacks", patched)
+    cli.main(["--config", cfg_path, "--synthetic", "--model", "bisenet"])
+    assert recorder.train_ended
+    assert all(np.isfinite(list(logs.values())).all()
+               for logs in recorder.batch_logs)
+    assert recorder.val_logs
+
+
+@pytest.mark.slow
 def test_adversarial_smoke(tmp_path, monkeypatch):
     from rtsds_tpu import cli
 
