@@ -45,6 +45,23 @@ def _grl_bwd(alpha, _, g):
 gradient_reversal.defvjp(_grl_fwd, _grl_bwd)
 
 
+class UpSampler(nn.Module):
+    """8x bilinear upsample + 1x1 conv (``model.py:19-28``).
+
+    Dead code in the reference's main path -- provided for drop-in
+    completeness of the module surface."""
+
+    num_classes: int = 19
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        from rtsds_tpu.ops.resize import upsample_bilinear
+
+        x = upsample_bilinear(x, 8)
+        return conv(self.num_classes, 1, dtype=self.dtype, name="conv")(x)
+
+
 class DomainDiscriminator(nn.Module):
     """FCDiscriminator (Tsai et al. CVPR'18), ``model.py:30-64``."""
 

@@ -94,6 +94,32 @@ def shard_state(state, mesh: Mesh):
         state)
 
 
+def make_hybrid_mesh(n_slices: int, devices=None,
+                     axis_names=("dcn", "ici")) -> Mesh:
+    """2-D mesh for multi-slice jobs: slices on the outer (DCN) axis,
+    per-slice chips on the inner (ICI) axis (SURVEY §5.8).
+
+    Data parallelism shards the batch over BOTH axes
+    (``hybrid_batch_sharding``); XLA then reduces gradients hierarchically
+    -- fast all-reduce within a slice over ICI, one cross-slice hop over
+    DCN -- instead of treating all chips as one flat ring.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    if len(devices) % n_slices != 0:
+        raise ValueError(
+            f"{len(devices)} devices do not split into {n_slices} slices")
+    per_slice = len(devices) // n_slices
+    grid = np.asarray(devices).reshape(n_slices, per_slice)
+    return Mesh(grid, axis_names=axis_names)
+
+
+def hybrid_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the batch dimension over every mesh axis (DCN x ICI)."""
+    return NamedSharding(mesh, P(mesh.axis_names))
+
+
 def initialize_multihost(coordinator_address: str | None = None,
                          num_processes: int | None = None,
                          process_id: int | None = None):
