@@ -92,6 +92,61 @@ def _reference_v1_iteration(gen, dis, src_img, src_lbl, tgt_img):
     }
 
 
+def _reference_v2_iteration(gen, dis, src_img, src_lbl, tgt_img, epoch=0):
+    """Transcription of one v2 iteration (``train.py:364-462``)."""
+    gen_opt = torch.optim.SGD(gen.parameters(), lr=LR_G)
+    dis_opt = torch.optim.SGD(dis.parameters(), lr=LR_D)
+    ce = torch.nn.CrossEntropyLoss(ignore_index=19)
+    bce = torch.nn.BCEWithLogitsLoss()
+    gen.train()
+    dis.train()
+    tsize = tgt_img.size()
+    real_labels = torch.ones(tsize[0], 1, 1, 1, dtype=tgt_img.dtype)
+    fake_labels = torch.zeros(tsize[0], 1, 1, 1, dtype=tgt_img.dtype)
+
+    # --- generator (:381-426) ---
+    gen_opt.zero_grad()
+    fake_seg = gen(src_img)
+    g_loss_seg = ce(fake_seg[0], src_lbl) + ce(fake_seg[1], src_lbl) \
+        + ce(fake_seg[2], src_lbl)
+    fake_seg = fake_seg[0]
+    correct = fake_seg.argmax(dim=1).eq(src_lbl).sum().item()
+    real_seg = gen(tgt_img)[0]
+    real_seg = F.adaptive_avg_pool2d(real_seg, (tsize[2], tsize[3]))
+    d_real_output = dis(F.softmax(real_seg, dim=1))
+    loss_adv = bce(d_real_output, fake_labels)           # G pushes toward 0
+    lambda_adv = max(0.1, 0.1 * 10 - 0.001 * epoch)      # (:416)
+    g_loss = g_loss_seg + lambda_adv * loss_adv
+    g_loss.backward()
+    gen_opt.step()
+
+    # --- discriminator on the UPDATED generator (:428-456) ---
+    dis_opt.zero_grad()
+    with torch.no_grad():  # BN running stats still advance (train mode)
+        fake_seg = gen(src_img)[0]
+        fake_seg = F.adaptive_avg_pool2d(fake_seg, (tsize[2], tsize[3]))
+        real_seg = gen(tgt_img)[0]
+        real_seg = F.adaptive_avg_pool2d(real_seg, (tsize[2], tsize[3]))
+    d_real_output = dis(F.softmax(real_seg.detach(), dim=1))
+    d_fake_output = dis(F.softmax(fake_seg.detach(), dim=1))
+    d_real_loss = bce(d_real_output, real_labels)
+    d_fake_loss = bce(d_fake_output, fake_labels)
+    d_loss = d_real_loss + d_fake_loss
+    d_loss.backward()
+    dis_opt.step()
+
+    return {
+        "loss_gen_source": g_loss_seg.item(),
+        "loss_adversarial": loss_adv.item(),
+        "loss_gen_total": g_loss.item(),
+        "loss_disc_source": d_fake_loss.item(),
+        "loss_disc_target": d_real_loss.item(),
+        "loss_disc_total": d_loss.item(),
+        "lambda_adv": lambda_adv,
+        "correct": correct,
+    }
+
+
 def _assert_trees_close(ours, ref, rtol, atol, path=""):
     assert set(ours) == set(ref), \
         f"{path}: key mismatch {set(ours) ^ set(ref)}"
@@ -105,7 +160,8 @@ def _assert_trees_close(ours, ref, rtol, atol, path=""):
 
 
 @pytest.mark.slow
-def test_fused_v1_step_matches_reference_iteration(monkeypatch, rng):
+@pytest.mark.parametrize("variant", ["v1", "v2"])
+def test_fused_step_matches_reference_iteration(monkeypatch, rng, variant):
     ref_bisenet = load_reference_bisenet(monkeypatch)
     ref_da = load_reference_da_models()
     torch.manual_seed(0)
@@ -157,7 +213,7 @@ def test_fused_v1_step_matches_reference_iteration(monkeypatch, rng):
 
         step = make_adversarial_step(
             lambda_=LAMBDA, iterations=ITERATIONS, epochs=1,
-            ignore_index=19, variant="v1", donate=False)
+            ignore_index=19, variant=variant, donate=False)
         gen_state, dis_state, metrics = step(
             gen_state, dis_state, jnp.asarray(src),
             jnp.asarray(lbl, jnp.int32), jnp.asarray(tgt))
@@ -171,16 +227,27 @@ def test_fused_v1_step_matches_reference_iteration(monkeypatch, rng):
 
     # run the reference iteration (mutates gen/dis in place) AFTER our step
     # consumed the converted pre-step weights
-    ref = _reference_v1_iteration(
-        gen, dis,
-        torch.tensor(src.transpose(0, 3, 1, 2)),
-        torch.tensor(lbl, dtype=torch.long),
-        torch.tensor(tgt.transpose(0, 3, 1, 2)))
+    ref_fn = (_reference_v1_iteration if variant == "v1"
+              else _reference_v2_iteration)
+    ref = ref_fn(gen, dis,
+                 torch.tensor(src.transpose(0, 3, 1, 2)),
+                 torch.tensor(lbl, dtype=torch.long),
+                 torch.tensor(tgt.transpose(0, 3, 1, 2)))
 
-    # the four losses (train.py:278-284 log keys)
-    for k in ("loss_gen_source", "loss_adversarial", "loss_disc_source",
-              "loss_disc_target"):
-        np.testing.assert_allclose(metrics[k], ref[k], rtol=1e-8,
+    loss_keys = ("loss_gen_source", "loss_adversarial", "loss_disc_source",
+                 "loss_disc_target")
+    if variant == "v2":
+        loss_keys += ("loss_gen_total", "loss_disc_total", "lambda_adv")
+    # v2's D phase evaluates the UPDATED generator: f64 rounding in the G
+    # update amplifies through a second full forward + backward (losses
+    # ~1e-7 relative, D-param deltas up to ~5e-5 relative -- still 3+
+    # orders below any structural mismatch, which shows as O(1)).  v1's D
+    # phase reuses pre-update features and stays at 1e-8.
+    loss_rtol = 1e-8 if variant == "v1" else 1e-6
+    tree_rtol, tree_atol = ((1e-6, 1e-10) if variant == "v1"
+                            else (1e-4, 1e-6))
+    for k in loss_keys:
+        np.testing.assert_allclose(metrics[k], ref[k], rtol=loss_rtol,
                                    atol=1e-12, err_msg=k)
     assert int(metrics["correct"]) == ref["correct"]
 
@@ -189,8 +256,9 @@ def test_fused_v1_step_matches_reference_iteration(monkeypatch, rng):
         adapt_bisenet_state_dict(gen.state_dict()))
     ref_dis_post = convert_torch_state_dict(dis.state_dict())
     _assert_trees_close(ours_gen_params, ref_gen_post["params"],
-                        rtol=1e-6, atol=1e-10, path="G:params/")
+                        rtol=tree_rtol, atol=tree_atol, path="G:params/")
     _assert_trees_close(ours_gen_stats, ref_gen_post["batch_stats"],
-                        rtol=1e-6, atol=1e-10, path="G:batch_stats/")
+                        rtol=tree_rtol, atol=tree_atol,
+                        path="G:batch_stats/")
     _assert_trees_close(ours_dis_params, ref_dis_post["params"],
-                        rtol=1e-6, atol=1e-10, path="D:params/")
+                        rtol=tree_rtol, atol=tree_atol, path="D:params/")
