@@ -99,6 +99,32 @@ class Predictor:
         masks = masks[:n]
         return masks[0] if single else masks
 
+    def predict_iter(self, frames_iter):
+        """Streaming inference: yields masks per input batch while keeping
+        ONE batch in flight on device (JAX async dispatch overlaps the
+        host->device staging and mask fetch of batch N with the compute of
+        batch N+1 -- the real-time camera-feed pattern)."""
+        pending = None
+        for frames in frames_iter:
+            frames = np.asarray(frames, dtype=np.uint8)
+            if frames.ndim == 3:
+                frames = frames[None]
+            n = frames.shape[0]
+            if n < self.batch_size:
+                pad = np.zeros((self.batch_size - n, *frames.shape[1:]),
+                               np.uint8)
+                frames = np.concatenate([frames, pad])
+            elif n > self.batch_size:
+                raise ValueError(
+                    f"stream batches must be <= compiled batch "
+                    f"{self.batch_size}, got {n}")
+            fut = self._predict(self.variables, jnp.asarray(frames))
+            if pending is not None:
+                yield np.asarray(pending[0])[:pending[1]]
+            pending = (fut, n)
+        if pending is not None:
+            yield np.asarray(pending[0])[:pending[1]]
+
     def predict_colored(self, frames: np.ndarray) -> np.ndarray:
         """(..., H, W, 3) uint8 -> colorized (..., H, W, 3) uint8 masks."""
         masks = self.predict(frames)

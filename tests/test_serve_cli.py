@@ -26,3 +26,19 @@ def test_serve_cli_writes_masks(tmp_path):
                 "--colored"])
     colored = np.asarray(Image.open(out / "frame0_color.png"))
     assert colored.shape == (32, 64, 3)
+
+
+def test_predict_iter_matches_batch_predict():
+    import jax.numpy as jnp  # noqa: F401
+    from rtsds_tpu.serve import Predictor
+
+    rng = np.random.default_rng(1)
+    predictor = Predictor(image_size=(32, 64), batch_size=2, dtype=None)
+    batches = [rng.integers(0, 256, size=(2, 32, 64, 3), dtype=np.uint8)
+               for _ in range(3)]
+    batches.append(rng.integers(0, 256, size=(1, 32, 64, 3),
+                                dtype=np.uint8))  # ragged tail
+    streamed = list(predictor.predict_iter(iter(batches)))
+    assert len(streamed) == 4
+    for got, frames in zip(streamed, batches):
+        np.testing.assert_array_equal(got, predictor.predict(frames))
