@@ -40,8 +40,9 @@ class SpatialPath(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = ConvBlock(64, dtype=self.dtype, name="convblock1")(x, train)
+    def __call__(self, x, train: bool = False, x_s2d=None):
+        x = ConvBlock(64, dtype=self.dtype, name="convblock1")(x, train,
+                                                               x_s2d=x_s2d)
         x = ConvBlock(128, dtype=self.dtype, name="convblock2")(x, train)
         x = ConvBlock(256, dtype=self.dtype, name="convblock3")(x, train)
         return x
@@ -111,6 +112,12 @@ class BiSeNet(nn.Module):
     # rematerialize backbone blocks in the backward pass (training memory)
     remat: bool = False
     dtype: jnp.dtype | None = None
+    # Space-to-depth stem: rearrange the input to (H/2, W/2, 12) ONCE and
+    # run both 3-channel stride-2 stems (backbone 7x7 and spatial-path
+    # 3x3) as dense stride-1 convs over it -- exact (kernel repack is
+    # linear), same parameter layout. The shared rearrangement amortizes
+    # the transpose that made the single-consumer s2d stem a net loss.
+    s2d_stem: bool = False
     # Cast final logits up to f32 (needed for loss math / logit consumers).
     # Serving paths that immediately argmax should set False: materializing
     # f32 logits at 1024x2048x19 costs ~2x the bandwidth of the argmax
@@ -121,11 +128,20 @@ class BiSeNet(nn.Module):
     def __call__(self, x, train: bool = False):
         c16, c32 = FEATURE_CHANNELS[self.context_path]
 
-        sx = SpatialPath(dtype=self.dtype, name="spatial_path")(x, train)
+        x_s2d = None
+        if self.s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            from rtsds_tpu.models.layers import space_to_depth2
+
+            x_s2d = space_to_depth2(
+                x.astype(self.dtype) if self.dtype else x)
+
+        sx = SpatialPath(dtype=self.dtype, name="spatial_path")(
+            x, train, x_s2d=x_s2d)
 
         backbone = build_contextpath(self.context_path, dtype=self.dtype,
                                      remat=self.remat)
-        cx1, cx2, tail = backbone.copy(name="context_path")(x, train=train)
+        cx1, cx2, tail = backbone.copy(name="context_path")(
+            x, train=train, x_s2d=x_s2d)
 
         cx1 = AttentionRefinementModule(c16, dtype=self.dtype,
                                         name="arm1")(cx1, train)

@@ -126,8 +126,52 @@ def batch_norm(use_running_average: bool, name: str | None = None,
     )
 
 
+def space_to_depth2(x):
+    """NHWC 2x2 space-to-depth; channel blocks ordered (dy, dx, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+class Conv3x3Stride2(nn.Module):
+    """3x3 stride-2 conv (pad 1, no bias) with an exact space-to-depth
+    fast path: equivalent to a 2x2 stride-1 conv over ``space_to_depth2``
+    input with the taps repacked by output phase.  Parameter layout is the
+    plain (3, 3, Cin, Cout) HWIO kernel either way, so checkpoints and
+    converters are unaffected.  Pass ``x_s2d`` (the rearranged input,
+    shared across consumers) to take the fast path."""
+
+    features: int
+    kernel_init: Callable = kaiming_normal_relu
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, x_s2d=None):
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, in_ch, self.features))
+        dtype = self.dtype or x.dtype
+        kernel = kernel.astype(dtype)
+        if x_s2d is None:
+            return jax.lax.conv_general_dilated(
+                x.astype(dtype), kernel, (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # tap u (pad-left 1) maps to (phase dy = (u+1) % 2, block (u+1)//2)
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        kp = kp.reshape(2, 2, 2, 2, in_ch, self.features)
+        kp = kp.transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * in_ch,
+                                                    self.features)
+        return jax.lax.conv_general_dilated(
+            x_s2d.astype(dtype), kp, (1, 1), ((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ConvBlock(nn.Module):
-    """Conv -> BN -> ReLU (``build_bisenet.py:8-18``); default stride 2."""
+    """Conv -> BN -> ReLU (``build_bisenet.py:8-18``); default stride 2.
+
+    ``x_s2d`` (only meaningful for the 3x3/stride-2 configuration) routes
+    the conv through the space-to-depth fast path with a caller-provided
+    rearranged input."""
 
     features: int
     kernel: int = 3
@@ -137,10 +181,15 @@ class ConvBlock(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = conv(self.features, self.kernel, self.stride, self.padding,
-                 use_bias=False, kernel_init=self.kernel_init,
-                 dtype=self.dtype, name="conv1")(x)
+    def __call__(self, x, train: bool = False, x_s2d=None):
+        if x_s2d is not None:
+            assert self.kernel == 3 and self.stride == 2 and self.padding == 1
+            x = Conv3x3Stride2(self.features, kernel_init=self.kernel_init,
+                               dtype=self.dtype, name="conv1")(x, x_s2d)
+        else:
+            x = conv(self.features, self.kernel, self.stride, self.padding,
+                     use_bias=False, kernel_init=self.kernel_init,
+                     dtype=self.dtype, name="conv1")(x)
         x = batch_norm(not train, name="bn", dtype=self.dtype)(x)
         return nn.relu(x)
 
@@ -174,7 +223,7 @@ class Stem7x7(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, x_s2d=None):
         in_ch = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (7, 7, in_ch, self.features))
@@ -182,7 +231,7 @@ class Stem7x7(nn.Module):
         kernel = kernel.astype(dtype)
         x = x.astype(dtype)
         n, h, w, c = x.shape
-        if not self.s2d or h % 2 or w % 2:
+        if x_s2d is None and (not self.s2d or h % 2 or w % 2):
             return jax.lax.conv_general_dilated(
                 x, kernel, (2, 2), ((3, 3), (3, 3)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -191,9 +240,9 @@ class Stem7x7(nn.Module):
         k = k.reshape(4, 2, 4, 2, in_ch, self.features)
         k = k.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * in_ch,
                                                   self.features)
-        # space-to-depth with matching (dy, dx, c) channel order
-        x2 = x.reshape(n, h // 2, 2, w // 2, 2, c)
-        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        # space-to-depth with matching (dy, dx, c) channel order --
+        # x_s2d lets several consumers share one rearrangement
+        x2 = space_to_depth2(x) if x_s2d is None else x_s2d.astype(dtype)
         return jax.lax.conv_general_dilated(
             x2, k, (1, 1), ((2, 1), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))

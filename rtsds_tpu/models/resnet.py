@@ -121,12 +121,12 @@ class ResNetBackbone(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, x_s2d=None):
         base_cls, layers = _STAGES[self.arch]
         expansion = getattr(base_cls, "expansion", 1)
         block_cls = nn.remat(base_cls, static_argnums=(2,)) if self.remat \
             else base_cls
-        x = Stem7x7(features=64, dtype=self.dtype, name="conv1")(x)
+        x = Stem7x7(features=64, dtype=self.dtype, name="conv1")(x, x_s2d)
         x = batch_norm(not train, name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)

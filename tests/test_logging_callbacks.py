@@ -1,0 +1,86 @@
+"""W&B / TensorBoard callback wiring, exercised with stub SDK modules
+(neither SDK is installed here; the reference hard-imports both and
+crashes -- ours degrade and, when present, log the reference's keys)."""
+
+import sys
+import types
+
+import numpy as np
+
+
+class _FakeRun:
+    def __init__(self):
+        self.logged = []
+        self.finished = False
+
+    def log(self, payload):
+        self.logged.append(payload)
+
+    def finish(self):
+        self.finished = True
+
+
+def _install_fake_wandb(monkeypatch):
+    run = _FakeRun()
+    wandb = types.ModuleType("wandb")
+    wandb.init = lambda **kw: run
+    wandb.Table = lambda columns, data: {"columns": columns, "data": data}
+    monkeypatch.setitem(sys.modules, "wandb", wandb)
+    return run
+
+
+def test_wandb_callback_logs_reference_keys(monkeypatch):
+    run = _install_fake_wandb(monkeypatch)
+    from rtsds_tpu.callbacks.logging import WandBCallback
+
+    cb = WandBCallback(project_name="p", run_name="r", config={"a": 1})
+    cb.on_batch_end(0, {"train_loss": 0.5, "train_accuracy": 10.0})
+    cb.on_epoch_end(0, {"train_loss": 0.4})
+    cb.on_validation_end({"validation_mIoU": 0.3},
+                         data=[("road", 0.5), ("car", 0.1)])
+    cb.on_train_end()
+
+    assert run.finished
+    assert {"train_loss": 0.5, "train_accuracy": 10.0} in run.logged
+    assert {"validation_mIoU": 0.3} in run.logged
+    tables = [p for p in run.logged if "per class mIoU" in p]
+    assert tables and tables[0]["per class mIoU"]["data"][0] == \
+        ["road", "0.5000"]
+
+
+def test_wandb_callback_degrades_without_sdk(monkeypatch):
+    monkeypatch.setitem(sys.modules, "wandb", None)  # import -> ImportError
+    from rtsds_tpu.callbacks.logging import WandBCallback
+
+    cb = WandBCallback(project_name="p")
+    cb.on_batch_end(0, {"train_loss": 1.0})  # must not raise
+    cb.on_validation_end({"validation_mIoU": 0.1})
+    cb.on_train_end()
+
+
+def test_tensorboard_callback_writes_scalars(monkeypatch, tmp_path):
+    writes = []
+
+    class _FakeWriter:
+        def __init__(self, log_dir):
+            self.log_dir = log_dir
+
+        def add_scalar(self, key, value, step):
+            writes.append((key, value, step))
+
+        def close(self):
+            writes.append(("CLOSED", None, None))
+
+    tb = types.ModuleType("torch.utils.tensorboard")
+    tb.SummaryWriter = _FakeWriter
+    monkeypatch.setitem(sys.modules, "torch.utils.tensorboard", tb)
+    from rtsds_tpu.callbacks.logging import TensorBoardCallback
+
+    cb = TensorBoardCallback(log_dir=str(tmp_path))
+    cb.on_epoch_end(3, {"train_loss": 0.25, "skip_me": "not-a-number",
+                        "acc": np.float32(0.5)})
+    cb.on_train_end()
+    assert ("train_loss", 0.25, 3) in writes
+    assert ("acc", 0.5, 3) in writes
+    assert writes[-1][0] == "CLOSED"
+    assert not any(w[0] == "skip_me" for w in writes)

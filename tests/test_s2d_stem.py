@@ -42,3 +42,36 @@ def test_odd_size_fallback(key, rng):
     out = stem.apply(variables, x)
     # standard 7x7/s2/p3 output size: floor((n + 6 - 7)/2) + 1
     assert out.shape == (1, 17, 24, 8)
+
+
+def test_bisenet_s2d_stem_exact(key, rng):
+    """s2d_stem=True: both 3-channel stems consume ONE shared rearranged
+    input; logits must match the standard graph (same params)."""
+    from rtsds_tpu.models.bisenet import BiSeNet
+
+    x = jnp.asarray(rng.normal(size=(1, 64, 128, 3)).astype(np.float32))
+    base = BiSeNet(num_classes=19, context_path="resnet18")
+    s2d = BiSeNet(num_classes=19, context_path="resnet18", s2d_stem=True)
+    v = base.init(key, x, train=False)
+    a = base.apply(v, x, train=False)
+    b = s2d.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
+    # odd sizes fall back to the standard convs
+    xo = jnp.asarray(rng.normal(size=(1, 66, 130, 3)).astype(np.float32))
+    vo = base.init(key, xo, train=False)
+    np.testing.assert_allclose(
+        np.asarray(base.apply(vo, xo, train=False)),
+        np.asarray(s2d.apply(vo, xo, train=False)), rtol=1e-4, atol=1e-5)
+
+
+def test_conv3x3stride2_s2d_exact(key, rng):
+    from rtsds_tpu.models.layers import Conv3x3Stride2, space_to_depth2
+
+    x = jnp.asarray(rng.normal(size=(2, 32, 48, 5)).astype(np.float32))
+    m = Conv3x3Stride2(features=7)
+    v = m.init(key, x)
+    a = m.apply(v, x)
+    b = m.apply(v, x, space_to_depth2(x))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
