@@ -50,6 +50,12 @@ def argument_parser(argv=None):
     parser.add_argument("--debug", action="store_true",
                         help="(ours) paranoid mode: jax_debug_nans re-runs "
                              "NaN-producing ops un-jitted and raises.")
+    parser.add_argument("--multihost", action="store_true",
+                        help="(ours) initialize jax.distributed before "
+                             "anything touches devices -- run one process "
+                             "per host (args auto-detected on Cloud TPU); "
+                             "config batch sizes are then GLOBAL and each "
+                             "process loads only its shard.")
     return parser.parse_args(argv)
 
 
@@ -207,6 +213,10 @@ def _device_batches(loader, transform, mesh, key=None, augment=False,
 
 def main(argv=None):
     args = argument_parser(argv)
+    if args.multihost:
+        from rtsds_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost()  # must precede any device access
     if args.debug:
         from rtsds_tpu.utils.debug import enable_debug
 
@@ -218,8 +228,11 @@ def main(argv=None):
     from rtsds_tpu.train.factory import build_adversarial, build_supervised
     from rtsds_tpu.train.loop import adversarial_fit, supervised_fit
 
+    # mesh spec (config.yaml `mesh: {data: N}`, -1 = all devices)
+    n_mesh = int(getattr(config, "mesh", {"data": -1}).get("data", -1))
+    devices = None if n_mesh in (-1, 0) else jax.devices()[:n_mesh]
     batch_size = int(config.data["cityscapes"]["batch_size"])
-    mesh = make_mesh(batch_size=min(
+    mesh = make_mesh(devices=devices, batch_size=min(
         batch_size, int(config.data["gta5_modified"]["batch_size"])))
     data = datasets_loader(config, is_augmented=args.augmented,
                            synthetic=args.synthetic, seed=args.seed)

@@ -157,3 +157,31 @@ def test_gen_disc_inits_uncorrelated(tmp_path, monkeypatch):
     assert len(keys) == 2, "expected exactly one G and one D init"
     assert not np.array_equal(keys[0], keys[1]), \
         "generator and discriminator share an init key"
+
+
+def test_config_mesh_spec_limits_devices(tmp_path, monkeypatch):
+    """config mesh: {data: N} restricts the data-parallel mesh size."""
+    from rtsds_tpu import cli
+
+    sizes = []
+    import rtsds_tpu.parallel.mesh as mesh_mod
+
+    orig = mesh_mod.make_mesh
+
+    def recording(devices=None, axis_name="data", batch_size=None):
+        m = orig(devices=devices, axis_name=axis_name, batch_size=batch_size)
+        sizes.append(m.devices.size)
+        return m
+
+    monkeypatch.setattr(cli, "make_mesh", recording, raising=False)
+    import yaml as _yaml
+
+    cfg = _yaml.safe_load(open(_config_with_plots(tmp_path, epochs=1)))
+    cfg["mesh"] = {"data": 2}
+    cfg["callbacks"].pop("images_plots")
+    path = tmp_path / "cfg2.yaml"
+    path.write_text(_yaml.safe_dump(cfg))
+    # import-time binding: cli.main calls make_mesh via local import name
+    monkeypatch.setattr("rtsds_tpu.parallel.mesh.make_mesh", recording)
+    cli.main(["--config", str(path), "--synthetic", "--model", "bisenet"])
+    assert sizes and sizes[0] <= 2
