@@ -5,7 +5,7 @@ Baseline: the 200 FPS/chip v5e target from BASELINE.md (the reference
 publishes no numbers of its own; literature GPU baselines are 65-105 FPS).
 ``vs_baseline`` is value / 200.
 
-Env knobs: BENCH_BATCH (default 48), BENCH_ITERS (default 6),
+Env knobs: BENCH_BATCH (default 64), BENCH_ITERS (default 4),
 BENCH_REPEATS (default 3).
 """
 
@@ -17,8 +17,8 @@ import sys
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "48"))
-    iters = int(os.environ.get("BENCH_ITERS", "6"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "4"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     from rtsds_tpu.bench.latency import bisenet_inference_benchmark
