@@ -120,9 +120,6 @@ class FeatureFusionModule(nn.Module):
             f"in_channels of ConvBlock should be "
             f"{sum(p.shape[-1] for p in parts)}")
         # scope 'convblock/{conv1,bn}' matches the concat-form ConvBlock
-        scope = self
-        feature = _SplitConv3x3(self.num_classes, dtype=self.dtype,
-                                name="convblock_conv1_holder")(parts)             if False else None
         feature = ConvBlockSplit(self.num_classes, dtype=self.dtype,
                                  name="convblock")(parts, train)
         gate = global_avg_pool(feature)

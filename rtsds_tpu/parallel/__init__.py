@@ -1,7 +1,14 @@
 from rtsds_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    dp_spatial_sharding,
+    fsdp_shard_state,
+    hybrid_batch_sharding,
+    make_hybrid_mesh,
     make_mesh,
+    make_mesh_2d,
     replicated_sharding,
     shard_batch,
+    shard_spatial,
     shard_state,
+    spatial_sharding,
 )

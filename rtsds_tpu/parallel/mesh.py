@@ -94,6 +94,76 @@ def shard_state(state, mesh: Mesh):
         state)
 
 
+def make_mesh_2d(shape: tuple[int, ...], axis_names=("data", "spatial"),
+                 devices=None) -> Mesh:
+    """General named N-D mesh (e.g. data x spatial, data x model, or
+    data x spatial x model).
+
+    Combines parallelism strategies in one jit program: shard the batch
+    over ``data`` and, simultaneously, image height over ``spatial``
+    (:func:`dp_spatial_sharding`) and/or parameters over ``model``
+    (:func:`fsdp_shard_state`).  XLA's SPMD partitioner composes the
+    collectives (gradient psum over data, conv halo exchange over spatial,
+    param all-gather / grad reduce-scatter over model) automatically.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = int(np.prod(shape))
+    if len(devices) < n:
+        raise ValueError(f"mesh {shape} needs {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(grid, axis_names=tuple(axis_names))
+
+
+def dp_spatial_sharding(mesh: Mesh, data_axis: str = "data",
+                        spatial_axis: str = "spatial") -> NamedSharding:
+    """Batch over ``data`` AND image height over ``spatial`` at once.
+
+    The vision composition of DP + sequence/context parallelism
+    (SURVEY.md §5.7): each device holds a horizontal band of a slice of
+    the batch.  Works for NHWC images and NHW label maps alike (both have
+    batch leading, height second).  Use when per-device batch would
+    otherwise be < 1 image, or when single images exceed HBM.
+    """
+    return NamedSharding(mesh, P(data_axis, spatial_axis))
+
+
+def fsdp_shard_state(state, mesh: Mesh, axis: str = "model",
+                     min_size: int = 2 ** 15):
+    """Fully-sharded data parallelism: parameters (and their mirrored
+    optimizer moments) sharded over the ``axis`` of the mesh instead of
+    replicated.
+
+    Each large array is split on its trailing (output-channel) dimension
+    when that divides the axis size, else on its largest divisible
+    dimension; small arrays (< ``min_size`` elements -- biases, BN
+    vectors) stay replicated.  Inside the jitted train step XLA
+    all-gathers each kernel just before use and reduce-scatters its
+    gradient, so peak parameter memory per chip drops by the axis size --
+    the TPU-native answer to models larger than one chip's HBM.  Batch
+    inputs should be sharded over the remaining (data) axis; numerics are
+    identical to replicated execution (unit-tested).
+    """
+    axis_size = mesh.shape[axis]
+    repl = NamedSharding(mesh, P())
+
+    def choose(x):
+        if not hasattr(x, "shape") or not hasattr(x, "dtype"):
+            return x
+        if x.ndim == 0 or x.size < min_size:
+            return jax.device_put(x, repl)
+        dims = list(range(x.ndim))
+        # prefer the trailing dim (HWIO out-channels), then the largest
+        for d in sorted(dims, key=lambda d: (d != x.ndim - 1, -x.shape[d])):
+            if x.shape[d] % axis_size == 0:
+                spec = [None] * x.ndim
+                spec[d] = axis
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(choose, state)
+
+
 def make_hybrid_mesh(n_slices: int, devices=None,
                      axis_names=("dcn", "ici")) -> Mesh:
     """2-D mesh for multi-slice jobs: slices on the outer (DCN) axis,
