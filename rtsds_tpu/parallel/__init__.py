@@ -12,3 +12,7 @@ from rtsds_tpu.parallel.mesh import (  # noqa: F401
     shard_state,
     spatial_sharding,
 )
+from rtsds_tpu.parallel.pipeline import (  # noqa: F401
+    pipeline_apply,
+    stack_block_params,
+)

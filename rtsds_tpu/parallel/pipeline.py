@@ -1,0 +1,116 @@
+"""Pipeline parallelism: a GPipe microbatch schedule over a ``pipe`` mesh
+axis, built on ``shard_map`` + ``lax.ppermute``.
+
+The reference has no pipeline parallelism (SURVEY.md §2.3: DP only), and a
+CNN segmentation net rarely needs it -- but deep homogeneous block stacks
+(e.g. DeepLabV2-R101's 23 identical dilated bottlenecks in layer3,
+``deeplabv2.py:82-83``) pipeline naturally when one chip's HBM can't hold
+the whole network plus activations.  This module provides the TPU-native
+schedule for that case: stage p holds blocks ``[p*L/P, (p+1)*L/P)``; each
+tick every stage runs its blocks on one microbatch and ``ppermute``s the
+activation to the next stage over ICI, so all stages compute concurrently
+after the P-1-tick fill.
+
+Requirements: L blocks with identical input/output shapes and a shared
+``block_fn(params_i, x) -> y``; block parameters stacked on a leading
+length-L axis (:func:`stack_block_params`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def stack_block_params(params_list):
+    """Stack per-block param pytrees into one tree with leading dim L."""
+    return jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves), *params_list)
+
+
+def pipeline_apply(block_fn, stacked_params, x, mesh: Mesh,
+                   axis: str = "pipe", num_microbatches: int | None = None):
+    """Run ``x`` through L pipelined blocks sharded over ``axis``.
+
+    Args:
+      block_fn: ``(params_i, x_microbatch) -> y`` with ``y.shape ==
+        x_microbatch.shape`` (homogeneous stages).
+      stacked_params: pytree whose leaves have leading dim L
+        (:func:`stack_block_params`); L must divide by the axis size.
+      x: global batch ``(N, ...)``; N must divide into the microbatch
+        count.
+      num_microbatches: M (default: the pipe axis size).  Bubble overhead
+        is ``(P-1)/(M+P-1)`` -- raise M to amortize.
+
+    Returns the same result as applying the L blocks sequentially
+    (unit-tested identical); every device sees the replicated output.
+    """
+    n_stages = mesh.shape[axis]
+    lengths = {leaf.shape[0]
+               for leaf in jax.tree_util.tree_leaves(stacked_params)}
+    if len(lengths) != 1:
+        raise ValueError(f"inconsistent stacked leading dims {lengths}")
+    (num_blocks,) = lengths
+    if num_blocks % n_stages:
+        raise ValueError(
+            f"{num_blocks} blocks do not split over {n_stages} stages")
+    n_micro = num_microbatches or n_stages
+    if x.shape[0] % n_micro:
+        raise ValueError(
+            f"batch {x.shape[0]} does not split into {n_micro} microbatches")
+    xs = x.reshape(n_micro, x.shape[0] // n_micro, *x.shape[1:])
+    per_stage = num_blocks // n_stages
+    params_split = jax.tree_util.tree_map(
+        lambda p: p.reshape(n_stages, per_stage, *p.shape[1:]),
+        stacked_params)
+    in_specs = (jax.tree_util.tree_map(lambda _: P(axis), params_split),
+                P(None))
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=P(None))
+    def run(local_params, xs):
+        # leading dim 1 after sharding over the pipe axis
+        local_params = jax.tree_util.tree_map(lambda p: p[0], local_params)
+        stage_idx = jax.lax.axis_index(axis)
+
+        def stage(x_mb):
+            y, _ = jax.lax.scan(
+                lambda c, p: (block_fn(p, c), None), x_mb, local_params)
+            return y
+
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+        n_ticks = n_micro + n_stages - 1
+
+        def tick(t, state):
+            carry, out = state
+            # first stage ingests microbatch t (fill phase); garbage fed
+            # during the drain phase (t >= M) can never reach the last
+            # stage before the loop ends
+            x_in = jnp.where(stage_idx == 0,
+                             xs[jnp.clip(t, 0, n_micro - 1)], carry)
+            y = stage(x_in)
+            # last stage owns microbatch t-(P-1)'s result
+            slot = t - (n_stages - 1)
+            cs = jnp.clip(slot, 0, n_micro - 1)
+            cur = jax.lax.dynamic_index_in_dim(out, cs, 0, keepdims=False)
+            val = jnp.where((stage_idx == n_stages - 1) & (slot >= 0),
+                            y, cur)
+            out = jax.lax.dynamic_update_index_in_dim(out, val, cs, 0)
+            carry = jax.lax.ppermute(y, axis, perm)
+            return carry, out
+
+        # mark the zero-initialized carries as varying over the pipe axis
+        # (the loop body's outputs are; scan requires matching types)
+        carry0 = jax.lax.pcast(jnp.zeros(xs.shape[1:], xs.dtype),
+                               (axis,), to="varying")
+        out0 = jax.lax.pcast(jnp.zeros_like(xs), (axis,), to="varying")
+        _, out = jax.lax.fori_loop(0, n_ticks, tick, (carry0, out0))
+        # only the last stage wrote real data; psum replicates it
+        return jax.lax.psum(
+            jnp.where(stage_idx == n_stages - 1, out, 0), axis)
+
+    out = run(params_split, xs)
+    return out.reshape(x.shape[0], *out.shape[2:])

@@ -31,13 +31,19 @@ class Predictor:
       image_size: static (H, W) the predictor compiles for.
       batch_size: static micro-batch size; inputs are padded up to it.
       dtype: compute dtype (bf16 default -- MXU path).
+      mesh: optional ``jax.sharding.Mesh`` for multi-chip serving
+        (weights replicated, inputs sharded).
+      sharding: with a mesh, 'batch' shards frames over chips
+        (throughput) or 'spatial' shards each frame's height
+        (single-frame latency).
     """
 
     def __init__(self, model_name: str = "bisenet", variables: dict | None = None,
                  image_size: tuple[int, int] = (1024, 2048),
                  batch_size: int = 1, num_classes: int = 19,
                  backbone: str = "resnet18", dtype=jnp.bfloat16,
-                 correct_preprocessing: bool = False):
+                 correct_preprocessing: bool = False,
+                 mesh=None, sharding: str = "batch"):
         if model_name == "bisenet":
             self.model = BiSeNet(num_classes=num_classes,
                                  context_path=backbone, dtype=dtype,
@@ -55,7 +61,38 @@ class Predictor:
             key = jax.random.key(0)
             dummy = jnp.zeros((batch_size, *self.image_size, 3), jnp.float32)
             variables = self.model.init(key, dummy, train=False)
-        self.variables = jax.device_put(variables)
+
+        # multi-chip serving: replicate weights over the mesh and shard
+        # the incoming frame batch ('batch', the throughput mode) or each
+        # frame's height ('spatial', the single-frame latency mode --
+        # XLA inserts the conv halo exchanges).  One predict() call then
+        # fans out over every chip of the mesh.
+        self._in_sharding = None
+        if mesh is not None:
+            from rtsds_tpu.parallel.mesh import (
+                batch_sharding, replicated_sharding, spatial_sharding)
+
+            n = mesh.devices.size
+            if sharding == "batch":
+                if batch_size % n:
+                    raise ValueError(
+                        f"batch_size {batch_size} must be a multiple of the "
+                        f"{n}-device mesh for batch-sharded serving")
+                self._in_sharding = batch_sharding(mesh)
+            elif sharding == "spatial":
+                if self.image_size[0] % n:
+                    raise ValueError(
+                        f"image height {self.image_size[0]} must divide over "
+                        f"the {n}-device mesh for spatial serving")
+                self._in_sharding = spatial_sharding(mesh)
+            else:
+                raise ValueError(f"unknown serving sharding {sharding!r}")
+            variables = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, replicated_sharding(mesh))
+                if hasattr(a, "shape") else a, variables)
+            self.variables = variables
+        else:
+            self.variables = jax.device_put(variables)
 
         model = self.model
         correct = correct_preprocessing
@@ -68,9 +105,16 @@ class Predictor:
 
         self._predict = _predict
 
+    def _stage(self, frames: np.ndarray):
+        """Host->device staging, honoring the mesh sharding if any."""
+        arr = jnp.asarray(frames)
+        if self._in_sharding is not None:
+            arr = jax.device_put(arr, self._in_sharding)
+        return arr
+
     def warmup(self):
         dummy = np.zeros((self.batch_size, *self.image_size, 3), np.uint8)
-        np.asarray(self._predict(self.variables, jnp.asarray(dummy)))
+        np.asarray(self._predict(self.variables, self._stage(dummy)))
         return self
 
     def predict(self, frames: np.ndarray) -> np.ndarray:
@@ -95,7 +139,7 @@ class Predictor:
         if n < self.batch_size:
             pad = np.zeros((self.batch_size - n, *frames.shape[1:]), np.uint8)
             frames = np.concatenate([frames, pad])
-        masks = np.asarray(self._predict(self.variables, jnp.asarray(frames)))
+        masks = np.asarray(self._predict(self.variables, self._stage(frames)))
         masks = masks[:n]
         return masks[0] if single else masks
 
@@ -118,7 +162,7 @@ class Predictor:
                 raise ValueError(
                     f"stream batches must be <= compiled batch "
                     f"{self.batch_size}, got {n}")
-            fut = self._predict(self.variables, jnp.asarray(frames))
+            fut = self._predict(self.variables, self._stage(frames))
             if pending is not None:
                 yield np.asarray(pending[0])[:pending[1]]
             pending = (fut, n)

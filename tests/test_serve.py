@@ -18,6 +18,48 @@ def test_predictor_shapes_and_padding(rng):
     np.testing.assert_array_equal(single, masks[0])
 
 
+def test_predictor_mesh_batch_and_spatial_match_single_device(rng):
+    """Multi-chip serving: batch-sharded (throughput) and spatial-sharded
+    (single-frame latency) predictors agree with the single-device one."""
+    import jax
+
+    from rtsds_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() >= 8
+    frames = rng.integers(0, 255, size=(8, 32, 64, 3)).astype(np.uint8)
+    # f32 compute: bf16 rounding differs across sharding reduction orders
+    # and can flip argmax ties, which would make exact comparison flaky
+    ref = Predictor(image_size=(32, 64), batch_size=8,
+                    dtype=np.float32).predict(frames)
+
+    mesh = make_mesh()
+    p_batch = Predictor(image_size=(32, 64), batch_size=8,
+                        dtype=np.float32, mesh=mesh, sharding="batch")
+    np.testing.assert_array_equal(p_batch.predict(frames), ref)
+
+    p_sp = Predictor(image_size=(32, 64), batch_size=8,
+                     dtype=np.float32, mesh=mesh, sharding="spatial")
+    masks = p_sp.predict(frames)
+    agree = (masks == ref).mean()
+    assert agree > 0.999, f"spatial-sharded masks diverge: {agree:.4f}"
+
+
+def test_predictor_mesh_validation(rng):
+    import pytest
+
+    from rtsds_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="multiple"):
+        Predictor(image_size=(32, 64), batch_size=3, mesh=mesh)
+    with pytest.raises(ValueError, match="height"):
+        Predictor(image_size=(36, 64), batch_size=8, mesh=mesh,
+                  sharding="spatial")
+    with pytest.raises(ValueError, match="sharding"):
+        Predictor(image_size=(32, 64), batch_size=8, mesh=mesh,
+                  sharding="nope")
+
+
 def test_predictor_colored(rng):
     p = Predictor(image_size=(16, 32), batch_size=1)
     frame = rng.integers(0, 255, size=(16, 32, 3)).astype(np.uint8)
