@@ -61,6 +61,43 @@ def test_pipeline_residual_conv_blocks(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_pipeline_real_deeplab_layer3_blocks(key, rng):
+    """Pipeline the ACTUAL model blocks: DeepLabV2's dilated layer3
+    bottlenecks (deeplabv2.py:82-83 in the reference; 22 homogeneous
+    blocks at full depth) are the natural pipeline stage unit.  A reduced
+    9-block layer3 gives 8 homogeneous (non-projection) blocks -> 4
+    stages x 2 blocks; the pipelined result must equal running the same
+    blocks sequentially."""
+    from rtsds_tpu.models.deeplabv2 import DeepLabV2
+    from rtsds_tpu.models.resnet import Bottleneck
+
+    model = DeepLabV2(num_classes=19, layers=(1, 1, 9, 1))
+    x_img = jnp.asarray(rng.normal(size=(1, 65, 129, 3)).astype(np.float32))
+    variables = model.init(key, x_img, train=False)
+
+    block = Bottleneck(features=256, stride=1, dilation=2, downsample=False,
+                       stride_in_1x1=True)
+    names = [f"layer3_{i}" for i in range(1, 9)]
+    block_vars = [{
+        "params": variables["params"][n],
+        "batch_stats": variables["batch_stats"][n],
+    } for n in names]
+
+    def block_fn(p, h):
+        return block.apply(p, h, False)
+
+    # a realistic layer3 input: 1024 channels at 1/8 resolution
+    h = jnp.asarray(rng.normal(size=(8, 8, 16, 1024)).astype(np.float32))
+    ref = h
+    for p in block_vars:
+        ref = block_fn(p, ref)
+
+    out = pipeline_apply(block_fn, stack_block_params(block_vars), h,
+                         _pipe_mesh(4), num_microbatches=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_pipeline_validation(rng):
     feat = 4
     stacked = stack_block_params(
