@@ -255,7 +255,9 @@ _DEFAULTS: dict = {
     # generalization of the reference's `device: cpu|cuda` (config.yaml:152):
     # platform is resolved by JAX; `mesh` declares parallel axes.
     "device": "tpu",
-    "mesh": {"data": -1},  # -1 = all available devices on the data axis
+    # data: -1 = all remaining devices; optional `spatial: S` shards image
+    # height (huge inputs), `model: M` FSDP-shards params/optimizer state
+    "mesh": {"data": -1},
     "precision": {
         # params stay float32; compute dtype for the conv/matmul path
         "compute_dtype": "float32",

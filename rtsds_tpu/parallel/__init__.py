@@ -3,9 +3,12 @@ from rtsds_tpu.parallel.mesh import (  # noqa: F401
     dp_spatial_sharding,
     fsdp_shard_state,
     hybrid_batch_sharding,
+    input_sharding,
     make_hybrid_mesh,
     make_mesh,
     make_mesh_2d,
+    make_mesh_from_config,
+    place_state,
     replicated_sharding,
     shard_batch,
     shard_spatial,

@@ -164,6 +164,59 @@ def fsdp_shard_state(state, mesh: Mesh, axis: str = "model",
     return jax.tree_util.tree_map(choose, state)
 
 
+def make_mesh_from_config(spec: dict, devices=None,
+                          batch_size: int | None = None) -> Mesh:
+    """Build the job mesh from the config.yaml ``mesh:`` section.
+
+    ``spec`` keys (all optional): ``data`` (-1 = fill with the remaining
+    devices), ``spatial`` (height-band parallelism), ``model`` (FSDP
+    parameter sharding).  A pure-data spec keeps :func:`make_mesh`'s
+    batch-divisibility trimming; composed specs require the device count
+    to divide exactly.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    d = int(spec.get("data", -1))
+    s = int(spec.get("spatial", 1))
+    m = int(spec.get("model", 1))
+    if s <= 1 and m <= 1:
+        return make_mesh(devices if d in (-1, 0) else devices[:d],
+                         batch_size=batch_size)
+    if d in (-1, 0):
+        d = len(devices) // (s * m)
+        if d == 0:
+            raise ValueError(
+                f"mesh spec {spec} needs at least {s * m} devices, "
+                f"have {len(devices)}")
+    shape, axes = [d], ["data"]
+    if s > 1:
+        shape.append(s)
+        axes.append("spatial")
+    if m > 1:
+        shape.append(m)
+        axes.append("model")
+    return make_mesh_2d(tuple(shape), axis_names=tuple(axes),
+                        devices=devices)
+
+
+def input_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for input batches on any job mesh: batch over ``data``,
+    plus height bands over ``spatial`` when the mesh has that axis (the
+    ``model`` axis never shards inputs -- it shards parameters)."""
+    if "spatial" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", "spatial"))
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
+
+
+def place_state(state, mesh: Mesh):
+    """Place a TrainState on the job mesh: FSDP-sharded over ``model``
+    when that axis exists, replicated otherwise."""
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        return fsdp_shard_state(state, mesh, axis="model")
+    return shard_state(state, mesh)
+
+
 def make_hybrid_mesh(n_slices: int, devices=None,
                      axis_names=("dcn", "ici")) -> Mesh:
     """2-D mesh for multi-slice jobs: slices on the outer (DCN) axis,

@@ -76,6 +76,29 @@ def test_da_step_on_dp_spatial_mesh_matches_flat():
                                    err_msg=k)
 
 
+def test_make_mesh_from_config_and_input_sharding():
+    from rtsds_tpu.parallel.mesh import input_sharding, make_mesh_from_config
+
+    # pure-data spec keeps the 1-D trimming behavior
+    mesh = make_mesh_from_config({"data": -1}, batch_size=8)
+    assert mesh.axis_names == ("data",) and mesh.devices.size == 8
+    assert input_sharding(mesh).spec == P("data")
+
+    mesh = make_mesh_from_config({"data": -1, "spatial": 2, "model": 2})
+    assert mesh.axis_names == ("data", "spatial", "model")
+    assert mesh.devices.shape == (2, 2, 2)  # data axis filled to 8/(2*2)
+    assert input_sharding(mesh).spec == P("data", "spatial")
+
+    mesh = make_mesh_from_config({"data": 4, "spatial": 2})
+    assert mesh.axis_names == ("data", "spatial")
+    assert mesh.devices.shape == (4, 2)
+
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh_from_config({"data": 8, "model": 2})
+    with pytest.raises(ValueError, match="at least"):
+        make_mesh_from_config({"data": -1, "spatial": 16})
+
+
 def test_fsdp_shard_state_rules():
     mesh = make_mesh_2d((4, 2), axis_names=("data", "model"))
     tree = {
