@@ -165,6 +165,39 @@ class ModelCheckpoint(Callback):
         else:
             self._manager.save(self._epoch, self._get_states(), monitor=value)
 
+    def resume(self, states: dict) -> tuple[dict, int]:
+        """Full resume: restore the latest checkpoint into ``states`` and
+        return ``(restored_states, start_epoch)``.
+
+        ``start_epoch`` is the epoch after the last saved one (0 when no
+        checkpoint exists or the stored items don't match).  The best-
+        metric watermark is re-armed from the stored best step so
+        save-best cannot regress to a worse model after resume.
+        """
+        if self._manager is None:
+            self._manager = CheckpointManager(self.save_dir,
+                                              max_to_keep=self._max_to_keep,
+                                              best_mode=self.mode)
+        mgr = self._manager
+        latest = mgr.latest_step()
+        restored = mgr.restore(states)
+        if latest is None or restored is states:  # nothing / mismatch: fresh
+            return states, 0
+        start_epoch = int(latest) + 1
+        best = mgr.best_step()
+        if best is not None:
+            try:
+                metrics = mgr.manager.metrics(int(best)) or {}
+                if "monitor" in metrics:
+                    self.best = float(metrics["monitor"])
+                    self.best_step = int(best)
+            except Exception:
+                pass  # old checkpoint layouts without metrics: keep fresh
+        self._epoch = start_epoch
+        print(f"Resuming from epoch {start_epoch} "
+              f"(best {self.monitor}={self.best})")
+        return restored, start_epoch
+
     def save_emergency(self) -> bool:
         """Best-effort snapshot when training is about to die (the loops
         call this from their exception path -- SURVEY §5.3: the reference

@@ -183,9 +183,9 @@ def _device_batches(loader, transform, mesh, key=None, augment=False,
     (``jax.make_array_from_process_local_data``) instead of a device_put.
     """
     from rtsds_tpu.data.multihost import MultiHostDataLoader
-    from rtsds_tpu.parallel.mesh import batch_sharding
+    from rtsds_tpu.parallel.mesh import input_sharding
 
-    sharding = batch_sharding(mesh)
+    sharding = input_sharding(mesh)
     pc = loader.process_count if isinstance(loader, MultiHostDataLoader) else 1
 
     def put(arr):
@@ -224,15 +224,15 @@ def main(argv=None):
     root_key = set_seed(args.seed)
     config = load_config(args.config if args.config else None)
 
-    from rtsds_tpu.parallel.mesh import make_mesh
+    from rtsds_tpu.parallel.mesh import make_mesh_from_config, place_state
     from rtsds_tpu.train.factory import build_adversarial, build_supervised
     from rtsds_tpu.train.loop import adversarial_fit, supervised_fit
 
-    # mesh spec (config.yaml `mesh: {data: N}`, -1 = all devices)
-    n_mesh = int(getattr(config, "mesh", {"data": -1}).get("data", -1))
-    devices = None if n_mesh in (-1, 0) else jax.devices()[:n_mesh]
+    # mesh spec (config.yaml `mesh: {data: N, spatial: S, model: M}`);
+    # data -1 = fill; spatial shards image height, model FSDP-shards params
+    mesh_spec = dict(getattr(config, "mesh", {"data": -1}))
     batch_size = int(config.data["cityscapes"]["batch_size"])
-    mesh = make_mesh(devices=devices, batch_size=min(
+    mesh = make_mesh_from_config(mesh_spec, batch_size=min(
         batch_size, int(config.data["gta5_modified"]["batch_size"])))
     data = datasets_loader(config, is_augmented=args.augmented,
                            synthetic=args.synthetic, seed=args.seed)
@@ -251,11 +251,11 @@ def main(argv=None):
         cs_bs = config.data["cityscapes"]["batch_size"]
         # independent init keys: G and D must not share correlated inits
         gen_key, dis_key = jax.random.split(init_key)
-        gen_state = gen_bundle.init_state(
-            gen_key, jnp.zeros((gta5_bs, *data["gta5_size"], 3)))
-        dis_state = dis_bundle.init_state(
+        gen_state = place_state(gen_bundle.init_state(
+            gen_key, jnp.zeros((gta5_bs, *data["gta5_size"], 3))), mesh)
+        dis_state = place_state(dis_bundle.init_state(
             dis_key, jnp.zeros((cs_bs, *data["cs_size"],
-                                tcfg["num_classes"])))
+                                tcfg["num_classes"]))), mesh)
 
         from rtsds_tpu.train.adversarial import make_adversarial_step
 
@@ -275,10 +275,9 @@ def main(argv=None):
         def val_batches(_epoch):
             return _device_batches(data["cs_val"], data["cs_transform"], mesh)
 
+        start_epoch = 0
         if args.resume and checkpoint is not None:
-            checkpoint.attach(lambda: {"generator": gen_state,
-                                       "discriminator": dis_state})
-            restored = checkpoint.manager.restore(
+            restored, start_epoch = checkpoint.resume(
                 {"generator": gen_state, "discriminator": dis_state})
             gen_state = restored["generator"]
             dis_state = restored["discriminator"]
@@ -289,7 +288,8 @@ def main(argv=None):
             epochs=int(tcfg["epochs"]), num_classes=int(tcfg["num_classes"]),
             class_names=class_names, callbacks=callbacks,
             do_validation=int(tcfg["do_validation"]), checkpoint=checkpoint,
-            when_print=int(tcfg.get("when_print", -1)))
+            when_print=int(tcfg.get("when_print", -1)),
+            start_epoch=start_epoch)
     else:
         if args.dataset == "gta5":
             print(" ------> Training on GTA5, validating on Cityscapes ------ ")
@@ -306,7 +306,8 @@ def main(argv=None):
         section = "gta5_modified" if args.dataset == "gta5" else "cityscapes"
         bs = config.data[section]["batch_size"]
         size = data["gta5_size"] if args.dataset == "gta5" else data["cs_size"]
-        state = bundle.init_state(init_key, jnp.zeros((bs, *size, 3)))
+        state = place_state(
+            bundle.init_state(init_key, jnp.zeros((bs, *size, 3))), mesh)
 
         from rtsds_tpu.train.supervised import make_train_step
 
@@ -326,15 +327,20 @@ def main(argv=None):
         def val_batches(_epoch):
             return _device_batches(data["cs_val"], data["cs_transform"], mesh)
 
+        start_epoch = 0
         if args.resume and checkpoint is not None:
-            checkpoint.attach(lambda: {"model": state})
-            state = checkpoint.manager.restore({"model": state})["model"]
+            restored, start_epoch = checkpoint.resume({"model": state})
+            state = restored["model"]
+            # fast-forward the shuffle so resumed epochs see exactly the
+            # sample order the uninterrupted run would have drawn
+            train_loader.set_epoch(start_epoch)
 
         supervised_fit(
             state, train_step, train_batches, val_batches,
             epochs=int(tcfg["epochs"]), num_classes=int(tcfg["num_classes"]),
             class_names=class_names, callbacks=callbacks,
-            do_validation=int(tcfg["do_validation"]), checkpoint=checkpoint)
+            do_validation=int(tcfg["do_validation"]), checkpoint=checkpoint,
+            start_epoch=start_epoch)
 
 
 if __name__ == "__main__":

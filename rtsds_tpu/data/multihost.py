@@ -66,7 +66,8 @@ class MultiHostDataLoader(DataLoader):
         local = self.batch_size
         lo, hi = self.process_index * local, (self.process_index + 1) * local
         while True:
-            order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+            order = self._order(n)
+            self._epoch += 1
             stop = n - (n % self.global_batch_size)
             if not self.drop_last and stop < n:
                 stop = n  # ragged tail: every host truncates consistently

@@ -142,7 +142,8 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.infinite = infinite
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -150,10 +151,24 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int):
+        """Deterministic resume: the shuffle of pass N is a pure function
+        of ``(seed, N)``, so after restoring a checkpoint,
+        ``set_epoch(N)`` makes the next iteration reproduce exactly the
+        sample order pass N would have seen in the original run (and on
+        multi-host, keeps every process's permutation in agreement)."""
+        self._epoch = int(epoch)
+
+    def _order(self, n: int) -> np.ndarray:
+        if not self.shuffle:
+            return np.arange(n)
+        return np.random.default_rng((self.seed, self._epoch)).permutation(n)
+
     def _batch_indices(self) -> Iterator[np.ndarray]:
         n = len(self.dataset)
         while True:
-            order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+            order = self._order(n)
+            self._epoch += 1
             stop = n - (n % self.batch_size) if self.drop_last else n
             if stop == 0 and not self.drop_last:
                 stop = n

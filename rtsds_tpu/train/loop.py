@@ -76,8 +76,14 @@ def train_epoch(state, train_step, batches: Iterable, epoch: int,
 def supervised_fit(state, train_step, make_train_batches: Callable,
                    make_val_batches: Callable, epochs: int, num_classes: int,
                    class_names=None, callbacks=None, do_validation: int = 1,
-                   checkpoint=None):
-    """Full supervised run: epochs x (train_epoch + val) (``main.py:349-374``)."""
+                   checkpoint=None, start_epoch: int = 0):
+    """Full supervised run: epochs x (train_epoch + val) (``main.py:349-374``).
+
+    ``start_epoch`` > 0 resumes mid-run (see ModelCheckpoint.resume);
+    combined with the loaders' epoch-keyed shuffles and the epoch-folded
+    augmentation keys, a resumed run consumes exactly the batches the
+    uninterrupted run would have.
+    """
     callbacks = callbacks or []
     if checkpoint is not None:
         checkpoint.attach(lambda: {"model": state})
@@ -90,7 +96,7 @@ def supervised_fit(state, train_step, make_train_batches: Callable,
                                return_preds=plot_cbs)
     history = []
     try:
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             if checkpoint is not None:
                 checkpoint.attach(lambda: {"model": state})
                 checkpoint._epoch = epoch
@@ -121,7 +127,8 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
                     make_val_batches: Callable, iterations: int, epochs: int,
                     num_classes: int, class_names=None, callbacks=None,
                     do_validation: int = 1, checkpoint=None,
-                    variant: str = "v1", when_print: int = -1):
+                    variant: str = "v1", when_print: int = -1,
+                    start_epoch: int = 0):
     """Adversarial DA loop (``train.py:130-319`` / ``:322-500``).
 
     ``source_iter`` / ``target_iter`` are infinite device-batch iterators
@@ -141,7 +148,7 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
     history = []
 
     try:
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             _fan_out(callbacks, "on_train_begin")
             if checkpoint is not None:
                 checkpoint._epoch = epoch

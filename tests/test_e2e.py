@@ -133,6 +133,63 @@ def test_supervised_bf16_smoke(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_supervised_composed_mesh_smoke(tmp_path, monkeypatch):
+    """config `mesh: {data: 2, spatial: 2, model: 2}`: the CLI trains with
+    batch AND image height sharded and params FSDP-sharded, end to end."""
+    import yaml as _yaml
+
+    from rtsds_tpu import cli
+
+    cfg_path = _tiny_config(tmp_path)
+    cfg = _yaml.safe_load(open(cfg_path))
+    cfg["mesh"] = {"data": 2, "spatial": 2, "model": 2}
+    open(cfg_path, "w").write(_yaml.safe_dump(cfg))
+
+    recorder = RecorderCallback()
+    orig = cli.build_callbacks
+
+    def patched(config, use_wandb, *a, **k):
+        callbacks, checkpoint = orig(config, use_wandb, *a, **k)
+        return [*callbacks, recorder], checkpoint
+
+    monkeypatch.setattr(cli, "build_callbacks", patched)
+    cli.main(["--config", cfg_path, "--synthetic", "--model", "bisenet"])
+    assert recorder.train_ended
+    assert all(np.isfinite(list(logs.values())).all()
+               for logs in recorder.batch_logs)
+    assert recorder.val_logs
+
+
+@pytest.mark.slow
+def test_cli_resume_continues_at_next_epoch(tmp_path, monkeypatch):
+    """Train 1 epoch, bump config to 2 epochs, rerun with --resume: only
+    the remaining epoch runs, from the restored state."""
+    import yaml as _yaml
+
+    from rtsds_tpu import cli
+
+    cfg_path = _tiny_config(tmp_path, epochs=1)
+    cli.main(["--config", cfg_path, "--synthetic", "--model", "bisenet"])
+
+    cfg = _yaml.safe_load(open(cfg_path))
+    cfg["training"]["segmentation"]["epochs"] = 2
+    open(cfg_path, "w").write(_yaml.safe_dump(cfg))
+
+    recorder = RecorderCallback()
+    orig = cli.build_callbacks
+
+    def patched(config, use_wandb, *a, **k):
+        callbacks, checkpoint = orig(config, use_wandb, *a, **k)
+        return [*callbacks, recorder], checkpoint
+
+    monkeypatch.setattr(cli, "build_callbacks", patched)
+    cli.main(["--config", cfg_path, "--synthetic", "--model", "bisenet",
+              "--resume"])
+    assert len(recorder.epoch_logs) == 1  # epoch 0 skipped, epoch 1 ran
+    assert recorder.train_ended
+
+
+@pytest.mark.slow
 def test_adversarial_smoke(tmp_path, monkeypatch):
     from rtsds_tpu import cli
 
