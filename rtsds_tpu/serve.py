@@ -213,7 +213,7 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser(
         description="RTSDS-TPU real-time segmentation inference")
-    parser.add_argument("images", nargs="+", help="input image paths (PNG)")
+    parser.add_argument("images", nargs="*", help="input image paths (PNG)")
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="ModelCheckpoint directory (best/latest step)")
     parser.add_argument("--model", type=str, default="bisenet",
@@ -229,20 +229,43 @@ def main(argv=None):
                         help="standard /255 preprocessing (must match how "
                              "the checkpoint was trained)")
     parser.add_argument("--num_classes", type=int, default=19)
+    parser.add_argument("--export", type=str, default=None, metavar="PATH",
+                        help="write a self-contained AOT serving artifact "
+                             "(StableHLO + weights; see serve_export.py) "
+                             "and exit")
+    parser.add_argument("--artifact", type=str, default=None, metavar="PATH",
+                        help="serve from an exported artifact instead of "
+                             "model code + checkpoint")
     args = parser.parse_args(argv)
 
     from rtsds_tpu.data.pipeline import decode_image
 
     size = tuple(int(v) for v in args.size.replace(" ", "").split(","))
-    kwargs = dict(model_name=args.model, image_size=size,
-                  batch_size=min(len(args.images), 8),
-                  num_classes=args.num_classes, backbone=args.backbone,
-                  correct_preprocessing=args.correct_preprocessing)
-    if args.checkpoint:
-        predictor = Predictor.from_checkpoint(args.checkpoint, **kwargs)
+    if args.artifact:
+        from rtsds_tpu.serve_export import load_predictor
+
+        predictor = load_predictor(args.artifact)
+        size = predictor.image_size
     else:
-        print("serve: no --checkpoint given, running from RANDOM init")
-        predictor = Predictor(**kwargs)
+        kwargs = dict(model_name=args.model, image_size=size,
+                      batch_size=min(max(len(args.images), 1), 8),
+                      num_classes=args.num_classes, backbone=args.backbone,
+                      correct_preprocessing=args.correct_preprocessing)
+        if args.checkpoint:
+            predictor = Predictor.from_checkpoint(args.checkpoint, **kwargs)
+        else:
+            print("serve: no --checkpoint given, running from RANDOM init")
+            predictor = Predictor(**kwargs)
+    if args.export:
+        from rtsds_tpu.serve_export import export_predictor
+
+        if args.artifact:
+            parser.error("--export needs a live model, not --artifact")
+        export_predictor(predictor, args.export)
+        print(f"exported serving artifact to {args.export}")
+        return
+    if not args.images:
+        parser.error("no input images given")
 
     os.makedirs(args.out, exist_ok=True)
     frames = np.stack([decode_image(p, size) for p in args.images])
