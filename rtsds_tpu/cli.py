@@ -223,6 +223,11 @@ def main(argv=None):
         enable_debug()
     root_key = set_seed(args.seed)
     config = load_config(args.config if args.config else None)
+    cache_dir = getattr(config, "compilation_cache", "") or ""
+    if cache_dir:
+        from rtsds_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(cache_dir)
 
     from rtsds_tpu.parallel.mesh import make_mesh_from_config, place_state
     from rtsds_tpu.train.factory import build_adversarial, build_supervised

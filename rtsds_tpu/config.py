@@ -255,6 +255,9 @@ _DEFAULTS: dict = {
     # generalization of the reference's `device: cpu|cuda` (config.yaml:152):
     # platform is resolved by JAX; `mesh` declares parallel axes.
     "device": "tpu",
+    # on-disk XLA compilation cache (utils/compile_cache.py); "" = off.
+    # Kills the minutes-long first-compile on every restart/resume.
+    "compilation_cache": "",
     # data: -1 = all remaining devices; optional `spatial: S` shards image
     # height (huge inputs), `model: M` FSDP-shards params/optimizer state
     "mesh": {"data": -1},
