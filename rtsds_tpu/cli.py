@@ -232,6 +232,11 @@ def main(argv=None):
     from rtsds_tpu.parallel.mesh import make_mesh_from_config, place_state
     from rtsds_tpu.train.factory import build_adversarial, build_supervised
     from rtsds_tpu.train.loop import adversarial_fit, supervised_fit
+    from rtsds_tpu.utils.preemption import Preempted, install_preemption_handler
+
+    # preemptible-VM discipline: SIGTERM -> emergency checkpoint -> clean
+    # exit; the loops' crash path does the snapshotting
+    install_preemption_handler()
 
     # mesh spec (config.yaml `mesh: {data: N, spatial: S, model: M}`);
     # data -1 = fill; spatial shards image height, model FSDP-shards params
@@ -287,14 +292,21 @@ def main(argv=None):
             gen_state = restored["generator"]
             dis_state = restored["discriminator"]
 
-        adversarial_fit(
-            gen_state, dis_state, da_step, source_iter, target_iter,
-            val_batches, iterations=int(tcfg["iterations"]),
-            epochs=int(tcfg["epochs"]), num_classes=int(tcfg["num_classes"]),
-            class_names=class_names, callbacks=callbacks,
-            do_validation=int(tcfg["do_validation"]), checkpoint=checkpoint,
-            when_print=int(tcfg.get("when_print", -1)),
-            start_epoch=start_epoch)
+        try:
+            adversarial_fit(
+                gen_state, dis_state, da_step, source_iter, target_iter,
+                val_batches, iterations=int(tcfg["iterations"]),
+                epochs=int(tcfg["epochs"]),
+                num_classes=int(tcfg["num_classes"]),
+                class_names=class_names, callbacks=callbacks,
+                do_validation=int(tcfg["do_validation"]),
+                checkpoint=checkpoint,
+                when_print=int(tcfg.get("when_print", -1)),
+                start_epoch=start_epoch)
+        except Preempted as e:
+            print(f"Preempted ({e}); emergency checkpoint saved -- "
+                  f"restart with --resume to continue.")
+            return
     else:
         if args.dataset == "gta5":
             print(" ------> Training on GTA5, validating on Cityscapes ------ ")
@@ -340,12 +352,18 @@ def main(argv=None):
             # sample order the uninterrupted run would have drawn
             train_loader.set_epoch(start_epoch)
 
-        supervised_fit(
-            state, train_step, train_batches, val_batches,
-            epochs=int(tcfg["epochs"]), num_classes=int(tcfg["num_classes"]),
-            class_names=class_names, callbacks=callbacks,
-            do_validation=int(tcfg["do_validation"]), checkpoint=checkpoint,
-            start_epoch=start_epoch)
+        try:
+            supervised_fit(
+                state, train_step, train_batches, val_batches,
+                epochs=int(tcfg["epochs"]),
+                num_classes=int(tcfg["num_classes"]),
+                class_names=class_names, callbacks=callbacks,
+                do_validation=int(tcfg["do_validation"]),
+                checkpoint=checkpoint, start_epoch=start_epoch)
+        except Preempted as e:
+            print(f"Preempted ({e}); emergency checkpoint saved -- "
+                  f"restart with --resume to continue.")
+            return
 
 
 if __name__ == "__main__":
