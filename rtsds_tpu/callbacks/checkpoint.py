@@ -141,12 +141,23 @@ class ModelCheckpoint(Callback):
     def manager(self) -> CheckpointManager | None:
         return self._manager
 
+    @property
+    def _emergency_marker(self) -> str:
+        return os.path.join(self.save_dir, "EMERGENCY")
+
+    def _clear_emergency(self):
+        try:
+            os.remove(self._emergency_marker)
+        except OSError:
+            pass
+
     def on_epoch_end(self, epoch, logs=None):
         self._epoch = epoch
         if self._manager is None or self._get_states is None:
             return
         if not self.save_best and (epoch + 1) % self.save_freq == 0:
             self._manager.save(epoch, self._get_states())
+            self._clear_emergency()
 
     def on_validation_end(self, logs=None, data=None):
         if self._manager is None or self._get_states is None or not logs:
@@ -161,17 +172,22 @@ class ModelCheckpoint(Callback):
                 self.best_step = self._epoch
                 self._manager.save(self._epoch, self._get_states(),
                                    monitor=value)
+                self._clear_emergency()
                 print(f"Best Model Saved at Epoch {self._epoch}")
         else:
             self._manager.save(self._epoch, self._get_states(), monitor=value)
+            self._clear_emergency()
 
     def resume(self, states: dict) -> tuple[dict, int]:
         """Full resume: restore the latest checkpoint into ``states`` and
         return ``(restored_states, start_epoch)``.
 
         ``start_epoch`` is the epoch after the last saved one (0 when no
-        checkpoint exists or the stored items don't match).  The best-
-        metric watermark is re-armed from the stored best step so
+        checkpoint exists or the stored items don't match) -- UNLESS the
+        latest save is a mid-epoch emergency snapshot, in which case the
+        interrupted epoch itself is returned so it replays from its start
+        (never silently skipping its untrained remainder).  The
+        best-metric watermark is re-armed from the stored best step so
         save-best cannot regress to a worse model after resume.
         """
         if self._manager is None:
@@ -184,6 +200,12 @@ class ModelCheckpoint(Callback):
         if latest is None or restored is states:  # nothing / mismatch: fresh
             return states, 0
         start_epoch = int(latest) + 1
+        try:
+            with open(self._emergency_marker) as f:
+                if int(f.read().strip()) == int(latest):
+                    start_epoch = int(latest)  # replay interrupted epoch
+        except (OSError, ValueError):
+            pass
         best = mgr.best_step()
         if best is not None:
             try:
@@ -207,6 +229,11 @@ class ModelCheckpoint(Callback):
             return False
         try:
             self._manager.save(self._epoch, self._get_states())
+            # mark this snapshot as MID-epoch: resume() replays the
+            # interrupted epoch from its start instead of skipping its
+            # untrained remainder
+            with open(self._emergency_marker, "w") as f:
+                f.write(str(int(self._epoch)))
             print(f"Emergency checkpoint saved at epoch {self._epoch} "
                   f"({self.save_dir})")
             return True

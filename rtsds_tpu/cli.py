@@ -175,7 +175,7 @@ def build_callbacks(config, use_wandb: bool, mode_suffix: str = ""):
 
 
 def _device_batches(loader, transform, mesh, key=None, augment=False,
-                    infinite=False):
+                    infinite=False, start_index: int = 0):
     """host loader -> sharded device batches through the fused transform.
 
     Multi-host loaders yield per-process shards; each becomes this
@@ -195,7 +195,7 @@ def _device_batches(loader, transform, mesh, key=None, augment=False,
         return jax.device_put(arr, sharding)
 
     def gen():
-        i = 0
+        i = start_index  # resume: continue the augmentation-key counter
         while True:
             for images, labels in loader:
                 images = put(images)
@@ -212,6 +212,23 @@ def _device_batches(loader, transform, mesh, key=None, augment=False,
 
 
 def main(argv=None):
+    """CLI entry: run :func:`_main` with preemptible-VM discipline --
+    SIGTERM becomes an emergency checkpoint + clean exit -- restoring the
+    process's signal handlers afterwards (library/test callers keep their
+    own semantics)."""
+    from rtsds_tpu.utils.preemption import (
+        install_preemption_handler,
+        restore_handlers,
+    )
+
+    previous = install_preemption_handler()
+    try:
+        return _main(argv)
+    finally:
+        restore_handlers(previous)
+
+
+def _main(argv=None):
     args = argument_parser(argv)
     if args.multihost:
         from rtsds_tpu.parallel.mesh import initialize_multihost
@@ -232,11 +249,7 @@ def main(argv=None):
     from rtsds_tpu.parallel.mesh import make_mesh_from_config, place_state
     from rtsds_tpu.train.factory import build_adversarial, build_supervised
     from rtsds_tpu.train.loop import adversarial_fit, supervised_fit
-    from rtsds_tpu.utils.preemption import Preempted, install_preemption_handler
-
-    # preemptible-VM discipline: SIGTERM -> emergency checkpoint -> clean
-    # exit; the loops' crash path does the snapshotting
-    install_preemption_handler()
+    from rtsds_tpu.utils.preemption import Preempted
 
     # mesh spec (config.yaml `mesh: {data: N, spatial: S, model: M}`);
     # data -1 = fill; spatial shards image height, model FSDP-shards params
@@ -276,12 +289,6 @@ def main(argv=None):
                 "ignore_index"),
             variant=str(tcfg.get("variant", "v1")))
 
-        source_iter = _device_batches(
-            data["gta5_train"], data["gta5_transform"], mesh, key=aug_key,
-            augment=args.augmented, infinite=True)
-        target_iter = _device_batches(
-            data["cs_train"], data["cs_transform"], mesh, infinite=True)
-
         def val_batches(_epoch):
             return _device_batches(data["cs_val"], data["cs_transform"], mesh)
 
@@ -291,6 +298,22 @@ def main(argv=None):
                 {"generator": gen_state, "discriminator": dis_state})
             gen_state = restored["generator"]
             dis_state = restored["discriminator"]
+
+        # fast-forward the infinite source/target streams and the
+        # augmentation counter past the completed epochs' batches, so the
+        # resumed run draws exactly the shuffles/augmentations the
+        # uninterrupted run would have (index-level skip, no decode cost)
+        consumed = start_epoch * int(tcfg["iterations"])
+        for loader in (data["gta5_train"], data["cs_train"]):
+            per_pass = max(len(loader), 1)
+            loader.set_epoch(consumed // per_pass)
+            loader.skip_batches(consumed % per_pass)
+
+        source_iter = _device_batches(
+            data["gta5_train"], data["gta5_transform"], mesh, key=aug_key,
+            augment=args.augmented, infinite=True, start_index=consumed)
+        target_iter = _device_batches(
+            data["cs_train"], data["cs_transform"], mesh, infinite=True)
 
         try:
             adversarial_fit(
@@ -304,8 +327,12 @@ def main(argv=None):
                 when_print=int(tcfg.get("when_print", -1)),
                 start_epoch=start_epoch)
         except Preempted as e:
-            print(f"Preempted ({e}); emergency checkpoint saved -- "
-                  f"restart with --resume to continue.")
+            if checkpoint is not None:
+                print(f"Preempted ({e}); exiting -- restart with --resume "
+                      f"to continue from the last checkpoint.")
+            else:
+                print(f"Preempted ({e}); no checkpoint callback configured, "
+                      f"progress NOT saved.")
             return
     else:
         if args.dataset == "gta5":
@@ -361,8 +388,12 @@ def main(argv=None):
                 do_validation=int(tcfg["do_validation"]),
                 checkpoint=checkpoint, start_epoch=start_epoch)
         except Preempted as e:
-            print(f"Preempted ({e}); emergency checkpoint saved -- "
-                  f"restart with --resume to continue.")
+            if checkpoint is not None:
+                print(f"Preempted ({e}); exiting -- restart with --resume "
+                      f"to continue from the last checkpoint.")
+            else:
+                print(f"Preempted ({e}); no checkpoint callback configured, "
+                      f"progress NOT saved.")
             return
 
 

@@ -76,6 +76,9 @@ class MultiHostDataLoader(DataLoader):
                 chunk = g[lo:hi]
                 if len(chunk) == 0:
                     continue  # ragged tail smaller than this host's offset
+                if self._skip > 0:
+                    self._skip -= 1
+                    continue
                 yield chunk
             if not self.infinite:
                 return

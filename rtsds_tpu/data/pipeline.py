@@ -144,6 +144,7 @@ class DataLoader:
         self.infinite = infinite
         self.seed = seed
         self._epoch = 0
+        self._skip = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -159,6 +160,14 @@ class DataLoader:
         multi-host, keeps every process's permutation in agreement)."""
         self._epoch = int(epoch)
 
+    def skip_batches(self, k: int):
+        """Deterministic mid-pass resume: drop the next ``k`` batches at
+        the INDEX level (no decode cost) before yielding.  Combined with
+        :meth:`set_epoch` this fast-forwards an infinite stream to an
+        arbitrary position, e.g. the adversarial loop's
+        ``start_epoch * iterations`` consumed batches."""
+        self._skip = int(k)
+
     def _order(self, n: int) -> np.ndarray:
         if not self.shuffle:
             return np.arange(n)
@@ -173,6 +182,9 @@ class DataLoader:
             if stop == 0 and not self.drop_last:
                 stop = n
             for i in range(0, stop, self.batch_size):
+                if self._skip > 0:
+                    self._skip -= 1
+                    continue
                 yield order[i:i + self.batch_size]
             if not self.infinite:
                 return

@@ -189,6 +189,18 @@ def make_mesh_from_config(spec: dict, devices=None,
             raise ValueError(
                 f"mesh spec {spec} needs at least {s * m} devices, "
                 f"have {len(devices)}")
+    if d * s * m < len(devices):
+        import warnings
+
+        warnings.warn(
+            f"mesh spec {spec} uses {d * s * m} of {len(devices)} devices; "
+            f"{len(devices) - d * s * m} chip(s) will idle. Adjust the "
+            f"spec (or use data: -1) for full utilization.", stacklevel=2)
+    if batch_size is not None and batch_size % d != 0:
+        raise ValueError(
+            f"global batch {batch_size} does not divide over the {d}-wide "
+            f"data axis of mesh spec {spec}; set the batch size to a "
+            f"multiple of {d} or shrink the data axis")
     shape, axes = [d], ["data"]
     if s > 1:
         shape.append(s)

@@ -21,6 +21,48 @@ from rtsds_tpu.ops.preprocess import normalize
 from rtsds_tpu.utils.colors import apply_color_map
 
 
+def batched_mask_predict(call, frames: np.ndarray,
+                         image_size: tuple[int, int],
+                         batch_size: int | None) -> np.ndarray:
+    """Shared serving batch discipline: (N|_, H, W, 3) uint8 -> masks.
+
+    Promotes single frames, validates the compiled size, chunks N >
+    ``batch_size``, zero-pads N < ``batch_size`` and slices the result.
+    ``batch_size=None`` means the callee accepts any N (dynamic batch).
+    Used by both the live :class:`Predictor` and the AOT
+    :class:`rtsds_tpu.serve_export.ExportedPredictor` so the subtle
+    pad/chunk/slice logic exists exactly once.
+    """
+    frames = np.asarray(frames, dtype=np.uint8)
+    single = frames.ndim == 3
+    if single:
+        frames = frames[None]
+    if frames.shape[1:3] != tuple(image_size):
+        raise ValueError(
+            f"predictor compiled for {tuple(image_size)}, got "
+            f"{frames.shape[1:3]}")
+    n = frames.shape[0]
+    if batch_size is not None:
+        if n > batch_size:
+            chunks = [
+                batched_mask_predict(call, frames[i:i + batch_size],
+                                     image_size, batch_size)
+                for i in range(0, n, batch_size)]
+            return np.concatenate(chunks)
+        if n < batch_size:
+            pad = np.zeros((batch_size - n, *frames.shape[1:]), np.uint8)
+            frames = np.concatenate([frames, pad])
+    masks = np.asarray(call(frames))[:n]
+    return masks[0] if single else masks
+
+
+def colorize_masks(masks: np.ndarray) -> np.ndarray:
+    """(..., H, W) trainId masks -> colorized (..., H, W, 3) uint8."""
+    if masks.ndim == 2:
+        return apply_color_map(masks)
+    return np.stack([apply_color_map(m) for m in masks])
+
+
 class Predictor:
     """Device-resident segmentation predictor.
 
@@ -123,25 +165,9 @@ class Predictor:
         N may be smaller than the compiled batch; inputs are zero-padded
         and outputs sliced, so one compiled program serves any N <= batch.
         """
-        frames = np.asarray(frames, dtype=np.uint8)
-        single = frames.ndim == 3
-        if single:
-            frames = frames[None]
-        n = frames.shape[0]
-        if frames.shape[1:3] != self.image_size:
-            raise ValueError(
-                f"predictor compiled for {self.image_size}, got "
-                f"{frames.shape[1:3]}")
-        if n > self.batch_size:
-            chunks = [self.predict(frames[i:i + self.batch_size])
-                      for i in range(0, n, self.batch_size)]
-            return np.concatenate(chunks)
-        if n < self.batch_size:
-            pad = np.zeros((self.batch_size - n, *frames.shape[1:]), np.uint8)
-            frames = np.concatenate([frames, pad])
-        masks = np.asarray(self._predict(self.variables, self._stage(frames)))
-        masks = masks[:n]
-        return masks[0] if single else masks
+        return batched_mask_predict(
+            lambda f: self._predict(self.variables, self._stage(f)),
+            frames, self.image_size, self.batch_size)
 
     def predict_iter(self, frames_iter):
         """Streaming inference: yields masks per input batch while keeping
@@ -171,10 +197,7 @@ class Predictor:
 
     def predict_colored(self, frames: np.ndarray) -> np.ndarray:
         """(..., H, W, 3) uint8 -> colorized (..., H, W, 3) uint8 masks."""
-        masks = self.predict(frames)
-        if masks.ndim == 2:
-            return apply_color_map(masks)
-        return np.stack([apply_color_map(m) for m in masks])
+        return colorize_masks(self.predict(frames))
 
     @classmethod
     def from_checkpoint(cls, checkpoint_dir: str, **kwargs) -> "Predictor":
@@ -238,6 +261,12 @@ def main(argv=None):
                              "model code + checkpoint")
     args = parser.parse_args(argv)
 
+    # pure flag validation BEFORE any expensive model/artifact work
+    if args.export and args.artifact:
+        parser.error("--export needs a live model, not --artifact")
+    if not args.images and not args.export:
+        parser.error("no input images given")
+
     from rtsds_tpu.data.pipeline import decode_image
 
     size = tuple(int(v) for v in args.size.replace(" ", "").split(","))
@@ -259,13 +288,9 @@ def main(argv=None):
     if args.export:
         from rtsds_tpu.serve_export import export_predictor
 
-        if args.artifact:
-            parser.error("--export needs a live model, not --artifact")
         export_predictor(predictor, args.export)
         print(f"exported serving artifact to {args.export}")
         return
-    if not args.images:
-        parser.error("no input images given")
 
     os.makedirs(args.out, exist_ok=True)
     frames = np.stack([decode_image(p, size) for p in args.images])

@@ -105,35 +105,17 @@ class ExportedPredictor:
 
     def predict(self, frames: np.ndarray) -> np.ndarray:
         """(N, H, W, 3) or (H, W, 3) uint8 -> (N, H, W) / (H, W) int32."""
-        frames = np.asarray(frames, dtype=np.uint8)
-        single = frames.ndim == 3
-        if single:
-            frames = frames[None]
-        if frames.shape[1:3] != self.image_size:
-            raise ValueError(
-                f"artifact exported for {self.image_size}, got "
-                f"{frames.shape[1:3]}")
-        n = frames.shape[0]
-        if self.batch != "dynamic":
-            bs = int(self.batch)
-            if n > bs:
-                return np.concatenate(
-                    [self.predict(frames[i:i + bs])
-                     for i in range(0, n, bs)])
-            if n < bs:
-                pad = np.zeros((bs - n, *frames.shape[1:]), np.uint8)
-                frames = np.concatenate([frames, pad])
-        masks = np.asarray(self._call(frames))[:n]
-        return masks[0] if single else masks
+        from rtsds_tpu.serve import batched_mask_predict
+
+        batch = None if self.batch == "dynamic" else int(self.batch)
+        return batched_mask_predict(self._call, frames, self.image_size,
+                                    batch)
 
     def predict_colored(self, frames: np.ndarray) -> np.ndarray:
         """(..., H, W, 3) uint8 -> colorized (..., H, W, 3) uint8 masks."""
-        from rtsds_tpu.utils.colors import apply_color_map
+        from rtsds_tpu.serve import colorize_masks
 
-        masks = self.predict(frames)
-        if masks.ndim == 2:
-            return apply_color_map(masks)
-        return np.stack([apply_color_map(m) for m in masks])
+        return colorize_masks(self.predict(frames))
 
 
 def load_predictor(path: str) -> ExportedPredictor:
@@ -144,7 +126,13 @@ def load_predictor(path: str) -> ExportedPredictor:
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
             raise ValueError(f"{path} is not an RTSDS serving artifact")
-        (hlen,) = struct.unpack("<I", f.read(4))
-        meta = json.loads(f.read(hlen).decode())
+        raw = f.read(4)
+        if len(raw) < 4:
+            raise ValueError(f"{path}: truncated serving artifact")
+        (hlen,) = struct.unpack("<I", raw)
+        head = f.read(hlen)
+        if len(head) < hlen:
+            raise ValueError(f"{path}: truncated serving artifact")
+        meta = json.loads(head.decode())
         payload = f.read()
     return ExportedPredictor(jexport.deserialize(payload), meta)

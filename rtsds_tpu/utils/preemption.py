@@ -5,8 +5,10 @@ before evicting a preemptible worker.  The reference dies instantly and
 loses the run (SURVEY §5.3: no try/except anywhere); here the signal is
 turned into a :class:`Preempted` exception raised inside the training
 loop, whose existing crash path snapshots the full train state
-(``ModelCheckpoint.save_emergency``) so ``--resume`` continues from the
-last completed step.
+(``ModelCheckpoint.save_emergency``) so ``--resume`` continues: completed
+epochs are never repeated, and the interrupted epoch replays from its
+start (the snapshot is marked mid-epoch so its untrained remainder is not
+skipped).
 
 The handler must be installed from the MAIN thread (CPython restriction);
 the CLI does it before dispatching to a loop.

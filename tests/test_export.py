@@ -91,9 +91,13 @@ def test_wrong_size_and_bad_magic(tmp_path, predictor):
     path = export_predictor(predictor, str(tmp_path / "m.rtsds"),
                             platforms=("cpu",), batch=2)
     ep = load_predictor(path)
-    with pytest.raises(ValueError, match="exported for"):
+    with pytest.raises(ValueError, match="compiled for"):
         ep.predict(np.zeros((1, 32, 32, 3), np.uint8))
     bad = tmp_path / "bad.rtsds"
     bad.write_bytes(b"not an artifact")
     with pytest.raises(ValueError, match="artifact"):
         load_predictor(str(bad))
+    trunc = tmp_path / "trunc.rtsds"
+    trunc.write_bytes(b"RTSDS1\n\x09")  # valid magic, truncated header
+    with pytest.raises(ValueError, match="truncated"):
+        load_predictor(str(trunc))

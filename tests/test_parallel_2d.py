@@ -97,6 +97,11 @@ def test_make_mesh_from_config_and_input_sharding():
         make_mesh_from_config({"data": 8, "model": 2})
     with pytest.raises(ValueError, match="at least"):
         make_mesh_from_config({"data": -1, "spatial": 16})
+    # surplus chips never idle silently; undivisible batches fail loudly
+    with pytest.warns(UserWarning, match="idle"):
+        make_mesh_from_config({"data": 2, "spatial": 2})
+    with pytest.raises(ValueError, match="divide"):
+        make_mesh_from_config({"data": -1, "spatial": 2}, batch_size=3)
 
 
 def test_fsdp_shard_state_rules():

@@ -58,7 +58,9 @@ def test_sigterm_checkpoints_and_raises(tmp_path):
 
     restored, start_epoch = ckpt.resume({"model": state})
     assert int(restored["model"].step) >= 2  # epoch 0 + part of epoch 1
-    assert start_epoch >= 1
+    # the emergency snapshot is marked mid-epoch: the interrupted epoch 1
+    # REPLAYS from its start rather than being skipped half-trained
+    assert start_epoch == 1
     ckpt.manager.close()
 
 

@@ -52,6 +52,25 @@ def test_multihost_loader_epoch_keyed():
     np.testing.assert_array_equal(next(iter(resumed))[0], passes[1])
 
 
+def test_loader_skip_batches_fast_forward():
+    """set_epoch + skip_batches reproduce an infinite stream mid-pass --
+    the DA loop's resume discipline (consumed = start_epoch*iterations)."""
+    ds = SyntheticSegDataset(8, (8, 8), seed=0)
+    full = DataLoader(ds, batch_size=2, shuffle=True, num_workers=1, seed=1,
+                      infinite=True)
+    it = iter(full)
+    consumed = [next(it)[0].copy() for _ in range(7)]
+
+    resumed = DataLoader(ds, batch_size=2, shuffle=True, num_workers=1,
+                         seed=1, infinite=True)
+    per_pass = len(resumed)  # 4 batches per pass
+    resumed.set_epoch(5 // per_pass)
+    resumed.skip_batches(5 % per_pass)
+    it2 = iter(resumed)
+    np.testing.assert_array_equal(next(it2)[0], consumed[5])
+    np.testing.assert_array_equal(next(it2)[0], consumed[6])
+
+
 def test_checkpoint_resume_helper(tmp_path):
     import jax
     import jax.numpy as jnp
