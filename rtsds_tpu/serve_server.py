@@ -1,0 +1,232 @@
+"""Serving server: concurrent clients -> micro-batched TPU inference.
+
+The production pattern the reference's latency loop gestures at
+(``utils.py:109-134``) but never ships: many clients submit single
+frames; a collector thread coalesces them into the predictor's compiled
+batch (up to ``max_batch`` frames or ``max_wait_ms``, whichever first),
+runs ONE device call, and resolves each client's future with its own
+mask.  Device utilization scales with load while per-frame latency stays
+bounded by ``max_wait_ms`` + one batch time.
+
+Two layers:
+
+* :class:`MicroBatcher` -- the in-process batching engine over any
+  predictor-like object (``predict(frames) -> masks``); use it directly
+  when embedding the framework in a service.
+* :func:`main` -- a stdlib ThreadingHTTPServer speaking PNG over HTTP
+  (``POST /predict`` body = PNG image -> PNG trainId/color mask;
+  ``GET /healthz``), built on MicroBatcher.  Zero extra dependencies.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+
+import numpy as np
+
+
+class MicroBatcher:
+    """Coalesce concurrent single-frame requests into device batches.
+
+    Args:
+      predictor: object with ``predict(frames: (N,H,W,3) uint8) -> (N,H,W)``
+        and (for sizing) ``batch_size``/``image_size`` attributes.
+      max_batch: largest coalesced batch (default: predictor.batch_size --
+        the compiled batch, so no padding waste).
+      max_wait_ms: how long the collector waits to fill a batch after the
+        first request arrives.  0 = greedy (take whatever is queued).
+    """
+
+    def __init__(self, predictor, max_batch: int | None = None,
+                 max_wait_ms: float = 2.0):
+        self.predictor = predictor
+        self.max_batch = int(max_batch or getattr(predictor, "batch_size", 8))
+        self.max_wait = max(float(max_wait_ms), 0.0) / 1e3
+        self._queue: queue.Queue = queue.Queue()
+        self._closed = threading.Event()
+        self._thread = threading.Thread(target=self._collector, daemon=True)
+        self._thread.start()
+        self.batch_sizes: list[int] = []  # observability: coalescing stats
+
+    def submit(self, frame: np.ndarray) -> Future:
+        """(H, W, 3) uint8 -> Future resolving to the (H, W) int32 mask."""
+        if self._closed.is_set():
+            raise RuntimeError("MicroBatcher is closed")
+        frame = np.asarray(frame, dtype=np.uint8)
+        if frame.ndim != 3:
+            raise ValueError(f"submit() takes one HWC frame, got shape "
+                             f"{frame.shape}")
+        fut: Future = Future()
+        self._queue.put((frame, fut))
+        return fut
+
+    def predict(self, frame: np.ndarray) -> np.ndarray:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(frame).result()
+
+    def _collect_one_batch(self):
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return None
+        if first is None:
+            return None
+        batch = [first]
+        import time
+
+        t_end = time.monotonic() + self.max_wait
+        while len(batch) < self.max_batch:
+            remaining = t_end - time.monotonic()
+            try:
+                item = self._queue.get(timeout=max(remaining, 0.0))
+            except queue.Empty:
+                break
+            if item is None:
+                self._queue.put(None)  # re-post the shutdown token
+                break
+            batch.append(item)
+        return batch
+
+    def _collector(self):
+        while not self._closed.is_set():
+            batch = self._collect_one_batch()
+            if not batch:
+                continue
+            frames = np.stack([frame for frame, _ in batch])
+            futures = [fut for _, fut in batch]
+            self.batch_sizes.append(len(batch))
+            try:
+                masks = self.predictor.predict(frames)
+            except Exception as e:  # propagate to every waiting client
+                for fut in futures:
+                    if not fut.cancelled():
+                        fut.set_exception(e)
+                continue
+            for fut, mask in zip(futures, masks):
+                if not fut.cancelled():
+                    fut.set_result(np.asarray(mask))
+
+    def close(self):
+        self._closed.set()
+        self._queue.put(None)
+        self._thread.join(timeout=5)
+
+
+def make_http_server(batcher: MicroBatcher, host: str = "127.0.0.1",
+                     port: int = 8000, colored: bool = False):
+    """ThreadingHTTPServer: POST /predict (PNG in -> PNG mask out),
+    GET /healthz.  Frames are resized on host to the compiled size."""
+    import io
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from PIL import Image
+
+    size = tuple(batcher.predictor.image_size)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                body = b"ok"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self.send_error(404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                img = Image.open(io.BytesIO(self.rfile.read(length)))
+                img = img.convert("RGB")
+                if img.size != (size[1], size[0]):
+                    img = img.resize((size[1], size[0]), Image.BILINEAR)
+                frame = np.asarray(img, dtype=np.uint8)
+                mask = batcher.submit(frame).result(timeout=60)
+                if colored:
+                    from rtsds_tpu.serve import colorize_masks
+
+                    out = Image.fromarray(colorize_masks(mask))
+                else:
+                    out = Image.fromarray(mask.astype(np.uint8), mode="L")
+                buf = io.BytesIO()
+                out.save(buf, format="PNG")
+                body = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:
+                self.send_error(500, str(e)[:200])
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    """``python -m rtsds_tpu.serve_server --port 8000 [--checkpoint DIR |
+    --artifact PATH]`` -- segmentation-as-a-service on one chip."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="RTSDS-TPU micro-batching inference server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--artifact", default=None,
+                        help="serve from an AOT artifact (serve_export.py)")
+    parser.add_argument("--model", default="bisenet",
+                        choices=["bisenet", "deeplab"])
+    parser.add_argument("--backbone", default="resnet18")
+    parser.add_argument("--size", default="1024, 2048")
+    parser.add_argument("--batch", type=int, default=8,
+                        help="compiled micro-batch size")
+    parser.add_argument("--max_wait_ms", type=float, default=2.0)
+    parser.add_argument("--colored", action="store_true")
+    args = parser.parse_args(argv)
+
+    if args.artifact:
+        from rtsds_tpu.serve_export import load_predictor
+
+        predictor = load_predictor(args.artifact)
+        max_batch = (args.batch if predictor.batch == "dynamic"
+                     else int(predictor.batch))
+    else:
+        from rtsds_tpu.serve import Predictor
+
+        size = tuple(int(v) for v in args.size.replace(" ", "").split(","))
+        kwargs = dict(model_name=args.model, image_size=size,
+                      batch_size=args.batch, backbone=args.backbone)
+        if args.checkpoint:
+            predictor = Predictor.from_checkpoint(args.checkpoint, **kwargs)
+        else:
+            print("serve_server: no --checkpoint, serving RANDOM weights")
+            predictor = Predictor(**kwargs)
+        predictor.warmup()
+        max_batch = args.batch
+
+    batcher = MicroBatcher(predictor, max_batch=max_batch,
+                           max_wait_ms=args.max_wait_ms)
+    server = make_http_server(batcher, host=args.host, port=args.port,
+                              colored=args.colored)
+    print(f"serving on http://{args.host}:{args.port}/predict "
+          f"(micro-batch <= {max_batch}, wait {args.max_wait_ms} ms)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()

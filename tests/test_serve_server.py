@@ -1,0 +1,155 @@
+"""Micro-batching serving server (serve_server.py): request coalescing,
+per-client result routing, error propagation, and the HTTP surface."""
+
+import io
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+class _FakePredictor:
+    """Records batch sizes; mask = mean of each frame (identifies it)."""
+
+    batch_size = 4
+    image_size = (8, 12)
+
+    def __init__(self, fail: bool = False, delay: float = 0.0):
+        self.fail = fail
+        self.delay = delay
+        self.batches = []
+
+    def predict(self, frames):
+        if self.fail:
+            raise RuntimeError("device on fire")
+        if self.delay:
+            time.sleep(self.delay)
+        self.batches.append(frames.shape[0])
+        fill = frames.reshape(frames.shape[0], -1).mean(axis=1).astype(np.int32)
+        return np.broadcast_to(fill[:, None, None],
+                               (frames.shape[0], *self.image_size)).copy()
+
+
+def _frame(v):
+    return np.full((8, 12, 3), v, np.uint8)
+
+
+def test_microbatcher_routes_results_to_the_right_client():
+    from rtsds_tpu.serve_server import MicroBatcher
+
+    pred = _FakePredictor(delay=0.02)
+    mb = MicroBatcher(pred, max_wait_ms=20)
+    try:
+        futures = {v: mb.submit(_frame(v)) for v in (3, 60, 200, 117, 9)}
+        for v, fut in futures.items():
+            mask = fut.result(timeout=10)
+            assert mask.shape == (8, 12)
+            assert int(mask[0, 0]) == v  # each client got ITS frame's mask
+    finally:
+        mb.close()
+
+
+def test_microbatcher_coalesces_under_load():
+    from rtsds_tpu.serve_server import MicroBatcher
+
+    pred = _FakePredictor(delay=0.05)
+    mb = MicroBatcher(pred, max_batch=4, max_wait_ms=30)
+    try:
+        futures = [mb.submit(_frame(i)) for i in range(12)]
+        for fut in futures:
+            fut.result(timeout=20)
+        # 12 requests against a busy device must coalesce: strictly fewer
+        # device calls than requests, none exceeding the compiled batch
+        assert len(pred.batches) < 12
+        assert max(pred.batches) <= 4
+        assert sum(pred.batches) == 12
+    finally:
+        mb.close()
+
+
+def test_microbatcher_propagates_errors():
+    from rtsds_tpu.serve_server import MicroBatcher
+
+    mb = MicroBatcher(_FakePredictor(fail=True), max_wait_ms=1)
+    try:
+        fut = mb.submit(_frame(1))
+        with pytest.raises(RuntimeError, match="device on fire"):
+            fut.result(timeout=10)
+        # the collector survives a failing batch and serves the next one
+        fut2 = mb.submit(_frame(2))
+        with pytest.raises(RuntimeError):
+            fut2.result(timeout=10)
+    finally:
+        mb.close()
+
+
+def test_microbatcher_rejects_batched_input_and_close():
+    from rtsds_tpu.serve_server import MicroBatcher
+
+    mb = MicroBatcher(_FakePredictor(), max_wait_ms=1)
+    with pytest.raises(ValueError, match="HWC"):
+        mb.submit(np.zeros((2, 8, 12, 3), np.uint8))
+    mb.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.submit(_frame(1))
+
+
+def test_http_server_end_to_end():
+    from PIL import Image
+
+    from rtsds_tpu.serve_server import MicroBatcher, make_http_server
+
+    pred = _FakePredictor()
+    mb = MicroBatcher(pred, max_wait_ms=1)
+    server = make_http_server(mb, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            assert r.read() == b"ok"
+
+        buf = io.BytesIO()
+        Image.fromarray(_frame(42)).save(buf, format="PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            mask = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert mask.shape == (8, 12)
+        assert int(mask[0, 0]) == 42
+
+        # wrong-size input is host-resized, not rejected
+        buf = io.BytesIO()
+        Image.fromarray(np.full((30, 40, 3), 90, np.uint8)).save(
+            buf, format="PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            mask = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert mask.shape == (8, 12)
+    finally:
+        server.shutdown()
+        mb.close()
+
+
+@pytest.mark.slow
+def test_microbatcher_with_real_predictor():
+    from rtsds_tpu.serve import Predictor
+    from rtsds_tpu.serve_server import MicroBatcher
+
+    pred = Predictor(model_name="bisenet", image_size=(64, 128),
+                     batch_size=2, num_classes=19)
+    mb = MicroBatcher(pred, max_wait_ms=50)
+    try:
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 256, (3, 64, 128, 3), np.uint8)
+        futs = [mb.submit(f) for f in frames]
+        masks = np.stack([f.result(timeout=300) for f in futs])
+        np.testing.assert_array_equal(masks, pred.predict(frames))
+    finally:
+        mb.close()
