@@ -161,6 +161,28 @@ def test_supervised_composed_mesh_smoke(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_supervised_deeplab_smoke(tmp_path, monkeypatch):
+    """`--model deeplab` end to end: frozen-BN DeepLabV2-R101 trains and
+    validates through the real CLI on synthetic data."""
+    from rtsds_tpu import cli
+
+    recorder = RecorderCallback()
+    orig = cli.build_callbacks
+
+    def patched(config, use_wandb, *a, **k):
+        callbacks, checkpoint = orig(config, use_wandb, *a, **k)
+        return [*callbacks, recorder], checkpoint
+
+    monkeypatch.setattr(cli, "build_callbacks", patched)
+    cli.main(["--config", _tiny_config(tmp_path), "--synthetic",
+              "--model", "deeplab"])
+    assert recorder.train_ended
+    assert all(np.isfinite(list(logs.values())).all()
+               for logs in recorder.batch_logs)
+    assert recorder.val_logs
+
+
+@pytest.mark.slow
 def test_cli_resume_continues_at_next_epoch(tmp_path, monkeypatch):
     """Train 1 epoch, bump config to 2 epochs, rerun with --resume: only
     the remaining epoch runs, from the restored state."""
