@@ -1,0 +1,78 @@
+"""Sliding-window inference: segment images larger than the network's
+training resolution by tiling overlapping windows and blending the class
+probabilities -- the standard high-resolution evaluation protocol (and
+the single-chip alternative to spatial mesh sharding for >4K panoramas).
+
+TPU-first: the window grid is computed statically from the (static)
+image size, so the slices, forwards and the scatter-accumulate all
+compile into ONE XLA program -- no host loop, no per-window dispatch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _positions(total: int, window: int, stride: int) -> list[int]:
+    """Window start offsets covering [0, total) with overlap; the last
+    window is clamped flush to the edge."""
+    if window >= total:
+        return [0]
+    pos = list(range(0, total - window + 1, stride))
+    if pos[-1] + window < total:
+        pos.append(total - window)
+    return pos
+
+
+def make_sliding_predict(apply_fn: Callable, image_size: tuple[int, int],
+                         window: tuple[int, int] = (512, 1024),
+                         stride: tuple[int, int] | None = None,
+                         return_probs: bool = False) -> Callable:
+    """Build ``predict(variables, images) -> masks`` over NHWC images of
+    static ``image_size``, evaluated window-by-window.
+
+    Args:
+      apply_fn: ``apply_fn(variables, images, train=False) -> logits``
+        (logits at input resolution).
+      window: (wh, ww) evaluation window -- typically the train size.
+      stride: window step; default 3/4 of the window (25% overlap).
+        Overlapping probabilities are averaged, which suppresses
+        window-border artifacts.
+    """
+    h, w = image_size
+    wh, ww = min(window[0], h), min(window[1], w)
+    if stride is None:
+        stride = (max(wh * 3 // 4, 1), max(ww * 3 // 4, 1))
+    ys = _positions(h, wh, stride[0])
+    xs = _positions(w, ww, stride[1])
+
+    def predict(variables, images):
+        n = images.shape[0]
+        acc = None
+        count = jnp.zeros((1, h, w, 1), jnp.float32)
+        for y in ys:
+            for x in xs:
+                tile = jax.lax.slice(
+                    images, (0, y, x, 0),
+                    (n, y + wh, x + ww, images.shape[-1]))
+                logits = apply_fn(variables, tile, train=False)
+                p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                if acc is None:
+                    acc = jnp.zeros((n, h, w, p.shape[-1]), jnp.float32)
+                acc = jax.lax.dynamic_update_slice(
+                    acc, jax.lax.dynamic_slice(
+                        acc, (0, y, x, 0), (n, wh, ww, p.shape[-1])) + p,
+                    (0, y, x, 0))
+                count = jax.lax.dynamic_update_slice(
+                    count, jax.lax.dynamic_slice(
+                        count, (0, y, x, 0), (1, wh, ww, 1)) + 1.0,
+                    (0, y, x, 0))
+        probs = acc / count
+        if return_probs:
+            return probs
+        return jnp.argmax(probs, axis=-1).astype(jnp.int32)
+
+    return predict
