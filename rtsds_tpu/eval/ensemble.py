@@ -77,17 +77,30 @@ def make_ensemble_predict(apply_fn: Callable, image_size: tuple[int, int],
 def make_ensemble_eval_step(apply_fn: Callable, image_size: tuple[int, int],
                             num_classes: int,
                             scales: Sequence[float] = (0.75, 1.0, 1.25),
-                            flip: bool = True) -> Callable:
+                            flip: bool = True,
+                            use_pallas: bool | None = None) -> Callable:
     """Ensemble analog of :func:`rtsds_tpu.eval.validate.make_eval_step`:
-    ``eval_step(variables, images, labels, hist) -> hist`` with the
-    confusion-matrix update fused into the same program."""
+    ``eval_step(variables, images, labels, hist) -> hist``, jitted, with
+    the confusion-matrix update fused into the same program (Pallas MXU
+    histogram auto-selected on TPU, like the plain eval step)."""
+    from rtsds_tpu.eval.validate import _pallas_hist_available
     from rtsds_tpu.utils.metrics import fast_hist
+
+    if use_pallas is None:
+        use_pallas = _pallas_hist_available()
+
+    def hist_update(labels, preds):
+        if use_pallas:
+            from rtsds_tpu.ops.pallas.hist import fast_hist_pallas
+
+            return fast_hist_pallas(labels, preds, num_classes)
+        return fast_hist(labels, preds, num_classes)
 
     predict = make_ensemble_predict(apply_fn, image_size, scales, flip)
 
+    @jax.jit
     def eval_step(variables, images, labels, hist):
         preds = predict(variables, images)
-        return hist + fast_hist(labels.reshape(-1), preds.reshape(-1),
-                                num_classes)
+        return hist + hist_update(labels, preds)
 
     return eval_step

@@ -46,6 +46,10 @@ def make_sliding_predict(apply_fn: Callable, image_size: tuple[int, int],
     wh, ww = min(window[0], h), min(window[1], w)
     if stride is None:
         stride = (max(wh * 3 // 4, 1), max(ww * 3 // 4, 1))
+    if stride[0] > wh or stride[1] > ww:
+        raise ValueError(
+            f"stride {stride} exceeds window ({wh}, {ww}): uncovered "
+            f"pixels would divide 0/0")
     ys = _positions(h, wh, stride[0])
     xs = _positions(w, ww, stride[1])
 

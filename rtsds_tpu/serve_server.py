@@ -37,18 +37,27 @@ class MicroBatcher:
         the compiled batch, so no padding waste).
       max_wait_ms: how long the collector waits to fill a batch after the
         first request arrives.  0 = greedy (take whatever is queued).
+      pad_to_max: zero-pad every coalesced batch to ``max_batch`` before
+        the device call (results are sliced back).  Keeps dynamic-batch
+        predictors (e.g. a dynamic AOT artifact) on ONE compiled shape
+        instead of recompiling per load-dependent batch size.
     """
 
     def __init__(self, predictor, max_batch: int | None = None,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0, pad_to_max: bool = True):
+        import collections
+
+        self.pad_to_max = bool(pad_to_max)
+
         self.predictor = predictor
         self.max_batch = int(max_batch or getattr(predictor, "batch_size", 8))
         self.max_wait = max(float(max_wait_ms), 0.0) / 1e3
         self._queue: queue.Queue = queue.Queue()
         self._closed = threading.Event()
+        # observability: recent coalesced batch sizes (bounded)
+        self.batch_sizes = collections.deque(maxlen=1024)
         self._thread = threading.Thread(target=self._collector, daemon=True)
         self._thread.start()
-        self.batch_sizes: list[int] = []  # observability: coalescing stats
 
     def submit(self, frame: np.ndarray) -> Future:
         """(H, W, 3) uint8 -> Future resolving to the (H, W) int32 mask."""
@@ -58,6 +67,13 @@ class MicroBatcher:
         if frame.ndim != 3:
             raise ValueError(f"submit() takes one HWC frame, got shape "
                              f"{frame.shape}")
+        # validate the size HERE: a mismatched frame inside a coalesced
+        # batch would otherwise fail the whole batch for innocent clients
+        expected = getattr(self.predictor, "image_size", None)
+        if expected is not None and frame.shape[:2] != tuple(expected):
+            raise ValueError(
+                f"predictor compiled for {tuple(expected)}, got "
+                f"{frame.shape[:2]}")
         fut: Future = Future()
         self._queue.put((frame, fut))
         return fut
@@ -89,29 +105,60 @@ class MicroBatcher:
             batch.append(item)
         return batch
 
+    @staticmethod
+    def _fail(futures, exc):
+        for fut in futures:
+            try:
+                fut.set_exception(exc)
+            except Exception:
+                pass  # already resolved/cancelled
+
     def _collector(self):
         while not self._closed.is_set():
-            batch = self._collect_one_batch()
-            if not batch:
-                continue
-            frames = np.stack([frame for frame, _ in batch])
-            futures = [fut for _, fut in batch]
-            self.batch_sizes.append(len(batch))
+            futures = []
             try:
-                masks = self.predictor.predict(frames)
-            except Exception as e:  # propagate to every waiting client
-                for fut in futures:
-                    if not fut.cancelled():
-                        fut.set_exception(e)
+                batch = self._collect_one_batch()
+                if not batch:
+                    continue
+                # claim the futures: a client cancel after this point can
+                # no longer race the result delivery
+                claimed = [(frame, fut) for frame, fut in batch
+                           if fut.set_running_or_notify_cancel()]
+                if not claimed:
+                    continue
+                futures = [fut for _, fut in claimed]
+                frames = np.stack([frame for frame, _ in claimed])
+                self.batch_sizes.append(len(claimed))
+                n = frames.shape[0]
+                if self.pad_to_max and n < self.max_batch:
+                    pad = np.zeros((self.max_batch - n, *frames.shape[1:]),
+                                   np.uint8)
+                    frames = np.concatenate([frames, pad])
+                masks = self.predictor.predict(frames)[:n]
+                for fut, mask in zip(futures, masks):
+                    try:
+                        fut.set_result(np.asarray(mask))
+                    except Exception:
+                        pass  # client cancelled mid-flight
+            except Exception as e:
+                # the collector thread must survive anything (a dead
+                # collector strands every future forever); the failed
+                # batch's clients get the error
+                self._fail(futures, e)
                 continue
-            for fut, mask in zip(futures, masks):
-                if not fut.cancelled():
-                    fut.set_result(np.asarray(mask))
 
     def close(self):
+        """Stop the collector; pending/late requests fail fast."""
         self._closed.set()
         self._queue.put(None)
         self._thread.join(timeout=5)
+        while True:  # strand nothing: fail whatever is still queued
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and item[1].set_running_or_notify_cancel():
+                item[1].set_exception(RuntimeError("MicroBatcher is closed"))
 
 
 def make_http_server(batcher: MicroBatcher, host: str = "127.0.0.1",
@@ -166,7 +213,10 @@ def make_http_server(batcher: MicroBatcher, host: str = "127.0.0.1",
                 self.end_headers()
                 self.wfile.write(body)
             except Exception as e:
-                self.send_error(500, str(e)[:200])
+                # one line only: newlines in the status line would split
+                # the HTTP response
+                msg = " ".join(str(e).split())[:200] or "internal error"
+                self.send_error(500, msg)
 
     return ThreadingHTTPServer((host, port), Handler)
 
@@ -210,8 +260,13 @@ def main(argv=None):
         else:
             print("serve_server: no --checkpoint, serving RANDOM weights")
             predictor = Predictor(**kwargs)
-        predictor.warmup()
         max_batch = args.batch
+
+    # compile up front (minutes on TPU), for BOTH paths, at the exact
+    # padded shape the batcher will use -- requests never hit a cold chip
+    print("serve_server: warming up (first compile)...")
+    predictor.predict(np.zeros(
+        (max_batch, *predictor.image_size, 3), np.uint8))
 
     batcher = MicroBatcher(predictor, max_batch=max_batch,
                            max_wait_ms=args.max_wait_ms)

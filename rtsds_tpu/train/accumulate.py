@@ -29,19 +29,18 @@ import jax.numpy as jnp
 from rtsds_tpu.ops.losses import segmentation_loss
 
 
-def make_accumulating_train_step(accum_steps: int,
-                                 ignore_index: int | None = 19,
+def make_accumulating_train_step(ignore_index: int | None = 19,
                                  donate: bool = True):
     """Returns ``train_step(state, images, labels) -> (state, metrics)``.
 
     ``images``: (K, micro, H, W, C) float32 -- K micro-batches;
-    ``labels``: (K, micro, H, W) int32.  Callers reshape a flat
-    ``(K*micro, ...)`` batch with :func:`split_microbatches`.
+    ``labels``: (K, micro, H, W) int32.  K is read off the leading data
+    dimension (so it can never disagree with the data); callers reshape a
+    flat ``(K*micro, ...)`` batch with :func:`split_microbatches`.
     """
-    accum_steps = int(accum_steps)
-    assert accum_steps >= 1
 
     def train_step(state, images, labels):
+        accum_steps = images.shape[0]
         def loss_fn(params, batch_stats, mb_images, mb_labels):
             variables = {"params": params}
             mutable = []

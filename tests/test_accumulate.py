@@ -51,8 +51,7 @@ def test_accumulated_equals_full_batch_sgd():
     s_acc = create_train_state(model, jax.random.key(0), x, tx)
 
     full_step = make_train_step(ignore_index=None, donate=False)
-    acc_step = make_accumulating_train_step(4, ignore_index=None,
-                                            donate=False)
+    acc_step = make_accumulating_train_step(ignore_index=None, donate=False)
 
     s_full, m_full = full_step(s_full, x, y)
     s_acc, m_acc = acc_step(s_acc, split_microbatches(x, 4),
@@ -75,8 +74,7 @@ def test_accumulation_updates_bn_stats_sequentially():
     s = create_train_state(model, jax.random.key(0), x,
                            make_optimizer("Adam", 1e-3))
     before = jax.tree_util.tree_map(np.asarray, s.batch_stats)
-    acc_step = make_accumulating_train_step(4, ignore_index=None,
-                                            donate=False)
+    acc_step = make_accumulating_train_step(ignore_index=None, donate=False)
     s, _ = acc_step(s, split_microbatches(x, 4), split_microbatches(y, 4))
     after = s.batch_stats
     # stats moved (4 sequential micro-batch updates)

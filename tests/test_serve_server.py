@@ -62,9 +62,12 @@ def test_microbatcher_coalesces_under_load():
             fut.result(timeout=20)
         # 12 requests against a busy device must coalesce: strictly fewer
         # device calls than requests, none exceeding the compiled batch
-        assert len(pred.batches) < 12
-        assert max(pred.batches) <= 4
-        assert sum(pred.batches) == 12
+        sizes = list(mb.batch_sizes)
+        assert len(sizes) < 12
+        assert max(sizes) <= 4
+        assert sum(sizes) == 12
+        # pad_to_max keeps the device on ONE compiled shape
+        assert set(pred.batches) == {4}
     finally:
         mb.close()
 
@@ -91,9 +94,32 @@ def test_microbatcher_rejects_batched_input_and_close():
     mb = MicroBatcher(_FakePredictor(), max_wait_ms=1)
     with pytest.raises(ValueError, match="HWC"):
         mb.submit(np.zeros((2, 8, 12, 3), np.uint8))
+    # a wrong-size frame is rejected at submit, BEFORE it can poison a
+    # coalesced batch shared with innocent clients
+    with pytest.raises(ValueError, match="compiled for"):
+        mb.submit(np.zeros((16, 24, 3), np.uint8))
     mb.close()
     with pytest.raises(RuntimeError, match="closed"):
         mb.submit(_frame(1))
+
+
+def test_microbatcher_survives_cancelled_futures():
+    from rtsds_tpu.serve_server import MicroBatcher
+
+    pred = _FakePredictor(delay=0.05)
+    mb = MicroBatcher(pred, max_wait_ms=20)
+    try:
+        futs = [mb.submit(_frame(v)) for v in (1, 2, 3)]
+        futs[1].cancel()  # may or may not land before the claim
+        results = []
+        for i, fut in enumerate(futs):
+            if fut.cancelled():
+                continue
+            results.append((i, fut.result(timeout=10)))
+        # collector is still alive and serving
+        assert int(mb.predict(_frame(77))[0, 0]) == 77
+    finally:
+        mb.close()
 
 
 def test_http_server_end_to_end():

@@ -40,6 +40,15 @@ def test_positions_cover_and_clamp():
     assert covered.all()
 
 
+def test_stride_larger_than_window_rejected(setup):
+    from rtsds_tpu.eval.sliding import make_sliding_predict
+
+    model, variables, x = setup
+    with pytest.raises(ValueError, match="stride"):
+        make_sliding_predict(model.apply, (48, 80), window=(32, 48),
+                             stride=(40, 48))
+
+
 def test_whole_image_window_equals_plain(setup):
     from rtsds_tpu.eval.sliding import make_sliding_predict
 
