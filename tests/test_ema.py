@@ -20,7 +20,8 @@ def test_ema_matches_manual_trajectory():
         manual = {k: d * manual[k] + (1 - d) * np.asarray(params[k])
                   for k in manual}
     for k in manual:
-        np.testing.assert_allclose(np.asarray(ema[k]), manual[k], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ema[k]), manual[k], rtol=1e-5,
+                                   atol=1e-7)
 
 
 def test_ema_warmup_tracks_params_early():
