@@ -47,6 +47,10 @@ def argument_parser(argv=None):
                              "without the datasets on disk.")
     parser.add_argument("--resume", action="store_true",
                         help="(ours) resume from the latest checkpoint.")
+    parser.add_argument("--validate_only", action="store_true",
+                        help="(ours) no training: restore the best/latest "
+                             "checkpoint and run validation once (mIoU + "
+                             "per-class table).")
     parser.add_argument("--debug", action="store_true",
                         help="(ours) paranoid mode: jax_debug_nans re-runs "
                              "NaN-producing ops un-jitted and raises.")
@@ -211,6 +215,32 @@ def _device_batches(loader, transform, mesh, key=None, augment=False,
     return gen()
 
 
+def _run_validation_only(states: dict, which: str, checkpoint, val_batches,
+                         num_classes: int, class_names):
+    """--validate_only: restore the best (else latest) checkpoint and run
+    one validation pass; no training."""
+    from rtsds_tpu.eval.validate import validate
+
+    if checkpoint is None:
+        raise SystemExit(
+            "--validate_only needs a callbacks.model_checkpoint config "
+            "section to locate the checkpoint")
+    mgr = checkpoint.attach(lambda: states).manager
+    step = mgr.best_step()
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        raise SystemExit(
+            f"--validate_only: no checkpoint found under "
+            f"{checkpoint.save_dir}")
+    restored = mgr.restore(states, step=step)
+    miou, _ = validate(restored[which], val_batches(0), num_classes,
+                       class_names=class_names, detailed_report=True)
+    print(f"validate_only: checkpoint step {step} -> "
+          f"validation_mIoU = {miou:.6f}")
+    return miou
+
+
 def main(argv=None):
     """CLI entry: run :func:`_main` with preemptible-VM discipline --
     SIGTERM becomes an emergency checkpoint + clean exit -- restoring the
@@ -292,6 +322,13 @@ def _main(argv=None):
         def val_batches(_epoch):
             return _device_batches(data["cs_val"], data["cs_transform"], mesh)
 
+        if args.validate_only:
+            _run_validation_only(
+                {"generator": gen_state, "discriminator": dis_state},
+                "generator", checkpoint, val_batches,
+                int(tcfg["num_classes"]), class_names)
+            return
+
         start_epoch = 0
         if args.resume and checkpoint is not None:
             restored, start_epoch = checkpoint.resume(
@@ -370,6 +407,12 @@ def _main(argv=None):
 
         def val_batches(_epoch):
             return _device_batches(data["cs_val"], data["cs_transform"], mesh)
+
+        if args.validate_only:
+            _run_validation_only({"model": state}, "model", checkpoint,
+                                 val_batches, int(tcfg["num_classes"]),
+                                 class_names)
+            return
 
         start_epoch = 0
         if args.resume and checkpoint is not None:

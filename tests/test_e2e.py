@@ -212,6 +212,24 @@ def test_cli_resume_continues_at_next_epoch(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_cli_validate_only(tmp_path, capsys):
+    """--validate_only restores the best checkpoint and reports mIoU
+    without training; errors cleanly when no checkpoint exists."""
+    from rtsds_tpu import cli
+
+    cfg_path = _tiny_config(tmp_path, epochs=1)
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        cli.main(["--config", cfg_path, "--synthetic", "--validate_only"])
+
+    cli.main(["--config", cfg_path, "--synthetic", "--model", "bisenet"])
+    capsys.readouterr()
+    cli.main(["--config", cfg_path, "--synthetic", "--model", "bisenet",
+              "--validate_only"])
+    out = capsys.readouterr().out
+    assert "validate_only: checkpoint step 0 -> validation_mIoU" in out
+
+
+@pytest.mark.slow
 def test_adversarial_smoke(tmp_path, monkeypatch):
     from rtsds_tpu import cli
 
