@@ -86,6 +86,23 @@ def test_ensemble_eval_step_accumulates_hist(setup):
     assert int(hist.sum()) == 2 * 64 * 96
 
 
+def test_ensemble_step_plugs_into_validate(setup):
+    """The ensemble eval step drops into the standard validate() loop."""
+    from rtsds_tpu.eval.ensemble import make_ensemble_eval_step
+    from rtsds_tpu.eval.validate import validate
+
+    model, variables, x = setup
+    labels = jnp.asarray(np.random.default_rng(2).integers(
+        0, 7, size=(2, 64, 96)), jnp.int32)
+    step = make_ensemble_eval_step(model.apply, (64, 96), 7,
+                                   scales=(1.0,), flip=True)
+    miou, per_class = validate(variables, iter([(x, labels)]), 7,
+                               class_names=[f"c{i}" for i in range(7)],
+                               detailed_report=True, eval_step=step)
+    assert 0.0 <= miou <= 1.0
+    assert len(per_class) == 7
+
+
 @pytest.mark.slow
 def test_ensemble_on_real_bisenet():
     from rtsds_tpu.eval.ensemble import make_ensemble_predict
