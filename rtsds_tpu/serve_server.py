@@ -20,8 +20,10 @@ Two layers:
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
+import time
 from concurrent.futures import Future
 
 import numpy as np
@@ -45,10 +47,7 @@ class MicroBatcher:
 
     def __init__(self, predictor, max_batch: int | None = None,
                  max_wait_ms: float = 2.0, pad_to_max: bool = True):
-        import collections
-
         self.pad_to_max = bool(pad_to_max)
-
         self.predictor = predictor
         self.max_batch = int(max_batch or getattr(predictor, "batch_size", 8))
         self.max_wait = max(float(max_wait_ms), 0.0) / 1e3
@@ -90,8 +89,6 @@ class MicroBatcher:
         if first is None:
             return None
         batch = [first]
-        import time
-
         t_end = time.monotonic() + self.max_wait
         while len(batch) < self.max_batch:
             remaining = t_end - time.monotonic()
