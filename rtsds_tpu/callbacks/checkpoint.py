@@ -48,7 +48,17 @@ class CheckpointManager:
             name: self._ocp.args.StandardSave(_savable(state))
             for name, state in states.items()})
         metrics = {"monitor": float(monitor)} if monitor is not None else None
-        self.manager.save(int(step), args=args, metrics=metrics)
+        step = int(step)
+        # orbax never overwrites an existing step (a same-step save is
+        # silently no-op'd, or raises under force) -- but a replayed epoch
+        # after a mid-epoch emergency snapshot at the same step MUST
+        # replace the stale snapshot: delete first
+        try:
+            if step in set(self.manager.all_steps()):
+                self.manager.delete(step)
+        except Exception:
+            pass  # no prior step / backend without delete: plain save
+        self.manager.save(step, args=args, metrics=metrics, force=True)
         self.manager.wait_until_finished()
 
     def restore(self, states: dict, step: int | None = None) -> dict:

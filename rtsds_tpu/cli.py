@@ -234,6 +234,11 @@ def _run_validation_only(states: dict, which: str, checkpoint, val_batches,
             f"--validate_only: no checkpoint found under "
             f"{checkpoint.save_dir}")
     restored = mgr.restore(states, step=step)
+    if restored is states:  # restore skipped (mismatched items): random
+        raise SystemExit(  # weights must never masquerade as a result
+            f"--validate_only: checkpoint at step {step} under "
+            f"{checkpoint.save_dir} does not match this run's model "
+            f"(restore skipped)")
     miou, _ = validate(restored[which], val_batches(0), num_classes,
                        class_names=class_names, detailed_report=True)
     print(f"validate_only: checkpoint step {step} -> "

@@ -75,6 +75,10 @@ class MicroBatcher:
                 f"{frame.shape[:2]}")
         fut: Future = Future()
         self._queue.put((frame, fut))
+        if self._closed.is_set():
+            # close() may have drained the queue between our check and the
+            # put -- sweep again so this future can never be stranded
+            self._drain_failed()
         return fut
 
     def predict(self, frame: np.ndarray) -> np.ndarray:
@@ -144,18 +148,22 @@ class MicroBatcher:
                 self._fail(futures, e)
                 continue
 
+    def _drain_failed(self):
+        """Fail everything still queued (idempotent, thread-safe)."""
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None and item[1].set_running_or_notify_cancel():
+                item[1].set_exception(RuntimeError("MicroBatcher is closed"))
+
     def close(self):
         """Stop the collector; pending/late requests fail fast."""
         self._closed.set()
         self._queue.put(None)
         self._thread.join(timeout=5)
-        while True:  # strand nothing: fail whatever is still queued
-            try:
-                item = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if item is not None and item[1].set_running_or_notify_cancel():
-                item[1].set_exception(RuntimeError("MicroBatcher is closed"))
+        self._drain_failed()  # strand nothing
 
 
 def make_http_server(batcher: MicroBatcher, host: str = "127.0.0.1",

@@ -23,8 +23,13 @@ import jax.numpy as jnp
 
 
 def ema_init(params):
-    """EMA state = a copy of the parameter pytree."""
-    return jax.tree_util.tree_map(jnp.asarray, params)
+    """EMA state = a COPY of the parameter pytree.
+
+    A real copy matters: the train steps donate their state
+    (``donate_argnums``), so an aliased EMA tree would reference deleted
+    buffers after the first update.
+    """
+    return jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), params)
 
 
 def ema_update(ema_params, params, decay: float = 0.999, step=None):

@@ -36,6 +36,18 @@ def test_ema_warmup_tracks_params_early():
     np.testing.assert_allclose(np.asarray(ema2["w"]), 0.01, rtol=1e-4)
 
 
+def test_ema_init_copies_not_aliases():
+    """The train steps donate their state; an aliased EMA tree would hold
+    deleted buffers after the first update."""
+    params = {"w": jnp.ones((4,))}
+    ema = ema_init(params)
+    assert (ema["w"].unsafe_buffer_pointer()
+            != params["w"].unsafe_buffer_pointer())
+    params["w"].delete()  # simulate donation consuming the original
+    out = ema_update(ema, {"w": jnp.zeros((4,))}, decay=0.5)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.5)
+
+
 def test_ema_inside_jit_and_dtype_preserving():
     params = {"w": jnp.ones((8,), jnp.bfloat16)}
     ema = ema_init(params)

@@ -115,6 +115,84 @@ def test_checkpoint_resume_helper(tmp_path):
     fresh.manager.close()
 
 
+def test_replayed_epoch_save_overwrites_emergency_snapshot(tmp_path):
+    """After a mid-epoch emergency save at step E, the replayed epoch's
+    real save at the SAME step must overwrite the stale snapshot (orbax
+    silently no-ops same-step saves unless forced)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from rtsds_tpu.callbacks.checkpoint import ModelCheckpoint
+    from rtsds_tpu.train.optim import make_optimizer
+    from rtsds_tpu.train.state import create_train_state
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(3)(x)
+
+    x = jnp.ones((2, 4))
+    state = create_train_state(Tiny(), jax.random.key(0), x,
+                               make_optimizer("SGD", 1e-2, momentum=0.0))
+    stale = state.replace(step=jnp.int32(5))
+    fresh = state.replace(
+        step=jnp.int32(9),
+        params=jax.tree_util.tree_map(lambda p: p + 1.0, state.params))
+
+    ckpt = ModelCheckpoint(save_dir=str(tmp_path), save_name="m",
+                           save_best=True, monitor="validation_mIoU")
+    live = {"s": stale}
+    ckpt.attach(lambda: {"model": live["s"]})
+    ckpt._epoch = 1
+    assert ckpt.save_emergency()  # mid-epoch snapshot at step 1
+
+    # replayed epoch 1 completes with better weights and validates
+    live["s"] = fresh
+    ckpt.on_validation_end({"validation_mIoU": 0.5})
+    restored = ckpt.manager.restore({"model": state}, step=1)["model"]
+    assert int(restored.step) == 9  # the NEW save, not the stale snapshot
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(fresh.params)[0]))
+    ckpt.manager.close()
+
+
+def test_validate_only_rejects_mismatched_checkpoint(tmp_path):
+    """--validate_only must fail loudly, not report random-init mIoU,
+    when the stored items don't match the run's model."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from flax import linen as nn
+
+    from rtsds_tpu.callbacks.checkpoint import ModelCheckpoint
+    from rtsds_tpu.cli import _run_validation_only
+    from rtsds_tpu.train.optim import make_optimizer
+    from rtsds_tpu.train.state import create_train_state
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(3)(x)
+
+    x = jnp.ones((2, 4))
+    state = create_train_state(Tiny(), jax.random.key(0), x,
+                               make_optimizer("SGD", 1e-2, momentum=0.0))
+    writer = ModelCheckpoint(save_dir=str(tmp_path), save_name="m",
+                             save_best=False, save_freq=1)
+    writer.attach(lambda: {"model": state})
+    writer.on_epoch_end(0)
+    writer.manager.close()
+
+    reader = ModelCheckpoint(save_dir=str(tmp_path), save_name="m")
+    with _pytest.raises(SystemExit, match="does not match"):
+        _run_validation_only({"generator": state, "discriminator": state},
+                             "generator", reader, lambda e: iter([]), 3,
+                             None)
+    reader.manager.close()
+
+
 def test_resume_on_empty_dir(tmp_path):
     from rtsds_tpu.callbacks.checkpoint import ModelCheckpoint
 
