@@ -1,4 +1,9 @@
-from rtsds_tpu.train.state import TrainState, create_train_state  # noqa: F401
-from rtsds_tpu.train.optim import make_optimizer  # noqa: F401
-from rtsds_tpu.train.supervised import make_train_step  # noqa: F401
+from rtsds_tpu.train.accumulate import (  # noqa: F401
+    make_accumulating_train_step,
+    split_microbatches,
+)
 from rtsds_tpu.train.adversarial import make_adversarial_step  # noqa: F401
+from rtsds_tpu.train.ema import ema_init, ema_update  # noqa: F401
+from rtsds_tpu.train.optim import make_optimizer  # noqa: F401
+from rtsds_tpu.train.state import TrainState, create_train_state  # noqa: F401
+from rtsds_tpu.train.supervised import make_train_step  # noqa: F401

@@ -118,7 +118,10 @@ def test_two_process_distributed_input_pipeline(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            # generous: under a fully-loaded box (the rest of the suite
+            # competing for every core) the two workers' compile+barrier
+            # can take several minutes -- 300 s flaked twice
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
