@@ -140,6 +140,7 @@ def build_callbacks(config, use_wandb: bool, mode_suffix: str = ""):
     implemented config.yaml:127-149 schema, implemented here)."""
     from rtsds_tpu.callbacks import (
         EarlyStopping,
+        HistoryCallback,
         ImagePlotsCallback,
         ModelCheckpoint,
         WandBCallback,
@@ -170,6 +171,9 @@ def build_callbacks(config, use_wandb: bool, mode_suffix: str = ""):
             monitor=es.get("monitor", "validation_mIoU"),
             mode=es.get("mode", "max"),
             patience=int(es.get("patience", 5))))
+    if "history" in cb_cfg:
+        callbacks.append(HistoryCallback(
+            path=cb_cfg["history"].get("path", "history.jsonl")))
     if "images_plots" in cb_cfg:
         ip = cb_cfg["images_plots"]
         callbacks.append(ImagePlotsCallback(
