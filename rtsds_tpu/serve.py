@@ -259,7 +259,14 @@ def main(argv=None):
     parser.add_argument("--artifact", type=str, default=None, metavar="PATH",
                         help="serve from an exported artifact instead of "
                              "model code + checkpoint")
+    parser.add_argument("--compilation_cache", default=None, metavar="DIR",
+                        help="persistent XLA compile cache directory")
     args = parser.parse_args(argv)
+
+    if args.compilation_cache:
+        from rtsds_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(args.compilation_cache)
 
     # pure flag validation BEFORE any expensive model/artifact work
     if args.export and args.artifact:

@@ -246,7 +246,15 @@ def main(argv=None):
                         help="compiled micro-batch size")
     parser.add_argument("--max_wait_ms", type=float, default=2.0)
     parser.add_argument("--colored", action="store_true")
+    parser.add_argument("--compilation_cache", default=None, metavar="DIR",
+                        help="persistent XLA compile cache: restarted "
+                             "servers skip the minutes-long first compile")
     args = parser.parse_args(argv)
+
+    if args.compilation_cache:
+        from rtsds_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(args.compilation_cache)
 
     if args.artifact:
         from rtsds_tpu.serve_export import load_predictor
