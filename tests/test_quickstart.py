@@ -1,0 +1,20 @@
+"""The examples/quickstart.py lifecycle script runs end to end."""
+
+import os
+import sys
+
+import pytest
+
+
+@pytest.mark.slow
+def test_quickstart_lifecycle(tmp_path):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    try:
+        import quickstart
+    finally:
+        sys.path.pop(0)
+
+    workdir = quickstart.main(workdir=str(tmp_path), image_size=(32, 64))
+    assert os.path.exists(os.path.join(workdir, "model.rtsds"))
+    assert os.path.exists(os.path.join(workdir, "history.jsonl"))
