@@ -18,3 +18,15 @@ def test_quickstart_lifecycle(tmp_path):
     workdir = quickstart.main(workdir=str(tmp_path), image_size=(32, 64))
     assert os.path.exists(os.path.join(workdir, "model.rtsds"))
     assert os.path.exists(os.path.join(workdir, "history.jsonl"))
+
+
+@pytest.mark.slow
+def test_multichip_example():
+    """examples/multichip.py runs on the 8 virtual devices (conftest)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    try:
+        import multichip
+    finally:
+        sys.path.pop(0)
+    multichip.main()
