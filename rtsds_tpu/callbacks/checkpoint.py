@@ -84,6 +84,12 @@ class CheckpointManager:
     def latest_step(self):
         return self.manager.latest_step()
 
+    def all_steps(self):
+        try:
+            return list(self.manager.all_steps())
+        except Exception:
+            return []
+
     def best_step(self):
         return self.manager.best_step()
 
@@ -238,6 +244,18 @@ class ModelCheckpoint(Callback):
         if self._manager is None or self._get_states is None:
             return False
         try:
+            if int(self._epoch) in set(self._manager.all_steps()):
+                # A checkpoint for this step already exists (the post-epoch
+                # save at validation end).  Re-saving would delete it first
+                # (save() must delete-then-save because orbax never
+                # overwrites a step) -- losing the only copy of this epoch
+                # if we are killed mid-rewrite, and destroying its stored
+                # 'monitor' metric (degrading best_step()/--validate_only).
+                # The existing snapshot is a valid post-epoch state; resume
+                # restarts the next epoch from it, so keep it untouched.
+                print(f"Emergency: epoch {self._epoch} already checkpointed;"
+                      f" keeping existing snapshot ({self.save_dir})")
+                return True
             self._manager.save(self._epoch, self._get_states())
             # mark this snapshot as MID-epoch: resume() replays the
             # interrupted epoch from its start instead of skipping its

@@ -12,6 +12,7 @@ Config: ``callbacks: {history: {path: runs/history.jsonl}}``.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 
@@ -22,7 +23,10 @@ def _jsonable(logs: dict | None) -> dict:
     out = {}
     for k, v in (logs or {}).items():
         try:
-            out[k] = float(v)
+            f = float(v)
+            # strict RFC-8259 JSON for offline tooling (jq, browsers):
+            # NaN/Inf become null, mirroring the per_class_iou handling
+            out[k] = f if math.isfinite(f) else None
         except (TypeError, ValueError):
             out[k] = str(v)
     return out

@@ -73,12 +73,15 @@ class MultiHostDataLoader(DataLoader):
                 stop = n  # ragged tail: every host truncates consistently
             for i in range(0, stop, self.global_batch_size):
                 g = order[i:i + self.global_batch_size]
-                chunk = g[lo:hi]
-                if len(chunk) == 0:
-                    continue  # ragged tail smaller than this host's offset
+                # skips count GLOBAL groups, so every process fast-forwards
+                # past the same groups even when its own chunk of a ragged
+                # tail is empty (cross-host deterministic-resume guarantee)
                 if self._skip > 0:
                     self._skip -= 1
                     continue
+                chunk = g[lo:hi]
+                if len(chunk) == 0:
+                    continue  # ragged tail smaller than this host's offset
                 yield chunk
             if not self.infinite:
                 return

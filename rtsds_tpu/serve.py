@@ -297,7 +297,10 @@ def main(argv=None):
 
         export_predictor(predictor, args.export)
         print(f"exported serving artifact to {args.export}")
-        return
+        if not args.images:
+            return
+        # images given alongside --export: fall through and predict them
+        # too (previously they were silently ignored)
 
     os.makedirs(args.out, exist_ok=True)
     frames = np.stack([decode_image(p, size) for p in args.images])

@@ -71,3 +71,25 @@ def test_early_stopping_patience():
     es.on_validation_end({"validation_mIoU": 0.39})
     es.on_validation_end({"validation_mIoU": 0.38})
     assert es.should_stop
+
+
+def test_emergency_keeps_existing_same_step_checkpoint(tmp_path, key):
+    """SIGTERM right after the post-epoch best save must NOT delete-and-
+    rewrite the existing step: the rewrite races the kill (risking the
+    only copy of the epoch) and would destroy the stored monitor metric
+    that best_step()/--validate_only rely on."""
+    import os
+
+    state = _state(key)
+    cb = ModelCheckpoint(save_dir=str(tmp_path), save_name="m",
+                         save_best=True, monitor="validation_mIoU")
+    cb.attach(lambda: {"model": state})
+    cb.on_epoch_end(0)
+    cb.on_validation_end({"validation_mIoU": 0.42})
+    assert cb.save_emergency()  # still reports a valid checkpoint exists
+    assert not os.path.exists(cb._emergency_marker)  # post-epoch, no replay
+    assert cb.manager.all_steps() == [0]
+    assert cb.manager.best_step() == 0  # monitor metric survived intact
+    metrics = cb.manager.manager.metrics(0)
+    assert float(metrics["monitor"]) == 0.42
+    cb.on_train_end()

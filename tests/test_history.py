@@ -63,3 +63,21 @@ def test_cli_writes_history(tmp_path, monkeypatch):
     val = next(e for e in events if e["event"] == "validation")
     assert 0.0 <= val["validation_mIoU"] <= 1.0
     assert "per_class_iou" in val
+
+
+def test_nonfinite_metrics_serialize_as_strict_json_null(tmp_path):
+    """NaN/Inf must become null so jq/browsers (RFC-8259 parsers) can read
+    the file; Python's default json.dumps would emit bare NaN tokens."""
+    import json
+
+    path = tmp_path / "h.jsonl"
+    cb = HistoryCallback(str(path))
+    cb.on_epoch_end(0, logs={"loss": float("nan"), "lr": float("inf"),
+                             "ok": 1.5})
+
+    def reject(tok):  # strict parser: NaN/Infinity tokens are an error
+        raise ValueError(f"non-RFC-8259 token {tok}")
+
+    with open(path) as f:
+        [rec] = [json.loads(line, parse_constant=reject) for line in f]
+    assert rec["loss"] is None and rec["lr"] is None and rec["ok"] == 1.5

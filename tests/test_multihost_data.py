@@ -105,3 +105,33 @@ def test_global_batches_through_transform():
     assert images.dtype == jnp.float32
     assert images.shape == (8, 16, 24, 3)
     assert labels.shape == (8, 16, 24)
+
+
+def test_skip_batches_counts_global_groups_on_ragged_tail():
+    """drop_last=False ragged tail: a host whose tail chunk is EMPTY must
+    still count the tail group toward skip_batches, or hosts fast-forward
+    to different stream positions (deterministic-resume guarantee)."""
+    n, pc, gbs, seed, skip = 10, 4, 8, 5, 2
+    ds = SyntheticSegDataset(n, (8, 12), 3, seed=2)
+    local = gbs // pc
+
+    def global_groups():  # mirror of the loader's enumeration
+        epoch = 0
+        while True:
+            order = np.random.default_rng((seed, epoch)).permutation(n)
+            epoch += 1
+            for i in range(0, n, gbs):
+                yield order[i:i + gbs]
+
+    gi = global_groups()
+    groups = [next(gi) for _ in range(8)]
+    for p in range(pc):
+        loader = MultiHostDataLoader(ds, gbs, shuffle=True, seed=seed,
+                                     num_workers=1, process_index=p,
+                                     process_count=pc, drop_last=False,
+                                     infinite=True)
+        loader.skip_batches(skip)
+        got = next(loader._batch_indices())
+        lo, hi = p * local, (p + 1) * local
+        expected = next(g[lo:hi] for g in groups[skip:] if len(g[lo:hi]))
+        np.testing.assert_array_equal(got, expected)

@@ -42,3 +42,21 @@ def test_predict_iter_matches_batch_predict():
     assert len(streamed) == 4
     for got, frames in zip(streamed, batches):
         np.testing.assert_array_equal(got, predictor.predict(frames))
+
+
+def test_export_with_images_also_predicts(tmp_path):
+    """--export alongside image paths must export AND predict (previously
+    the images were silently ignored after the export)."""
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    p = tmp_path / "frame.png"
+    PILImage.fromarray(img).save(p)
+    out = tmp_path / "out"
+    artifact = tmp_path / "model.rtsds"
+    serve.main([str(p), "--size", "32, 64", "--out", str(out),
+                "--export", str(artifact)])
+    assert artifact.exists()
+    mask = np.asarray(Image.open(out / "frame_mask.png"))
+    assert mask.shape == (32, 64)
