@@ -95,7 +95,10 @@ def datasets_loader(config, is_augmented: bool, synthetic: bool = False,
                                    cs["images_val_dir"]), cs_size)
         gta5_ds = SegmentationDataset(
             build_gta5_index(gta5["images_dir"], gta5["segmentation_dir"]),
-            gta5_size)
+            gta5_size,
+            # raw GTA5 labels are RGB-coded: decode to trainIds at load
+            # time (reference `in_getting_decoder`, gta5.py:51,66-70)
+            decode_label_colors=bool(gta5.get("decode_label_colors", False)))
 
     aug_cfg = AugmentConfig.from_config(config) if is_augmented else None
 

@@ -147,6 +147,10 @@ _DEFAULTS: dict = {
             "num_classes": 19,
             "batch_size": 4,
             "num_workers": 4,
+            # raw (non-"Modified") GTA5 labels are RGB-coded; True decodes
+            # them to trainIds at load time (the reference's
+            # ``in_getting_decoder``, gta5.py:51,66-70)
+            "decode_label_colors": False,
         },
         # ours: opt out of the reference's normalize-without-/255 quirk
         # (main.py:71 normalizes 0-255 floats with ImageNet mean/std).
@@ -210,6 +214,15 @@ _DEFAULTS: dict = {
             "epochs": 50,
             "do_validation": 1,
             "when_print": -1,
+            # ours: >1 splits each loaded batch into K micro-batches,
+            # accumulates gradients in one lax.scan jit program and applies
+            # ONE optimizer update (train/accumulate.py); batch_size must
+            # divide by it
+            "accumulate_steps": 1,
+            # ours: exponential moving average of params (train/ema.py);
+            # validation runs on the EMA weights when enabled (checkpoints
+            # keep the raw training params)
+            "ema": {"enabled": False, "decay": 0.999},
         },
         "domain_adaptation": {
             "num_classes": 19,
@@ -223,6 +236,15 @@ _DEFAULTS: dict = {
             # (train.py:130 vs train.py:322)
             "variant": "v1",
         },
+    },
+    # ours: validation-time inference protocol (eval/ensemble.py,
+    # eval/sliding.py); mutually exclusive. Applies to the supervised and
+    # DA validation passes and to --validate_only.
+    "validation": {
+        "ensemble": {"enabled": False, "scales": "0.75, 1.0, 1.25",
+                     "flip": True},
+        "sliding": {"enabled": False, "window": "512, 1024",
+                    "stride": ""},  # "" = 3/4 window (25% overlap)
     },
     "augmentation": {
         "p": 0.5,

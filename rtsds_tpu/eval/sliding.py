@@ -80,3 +80,35 @@ def make_sliding_predict(apply_fn: Callable, image_size: tuple[int, int],
         return jnp.argmax(probs, axis=-1).astype(jnp.int32)
 
     return predict
+
+
+def make_sliding_eval_step(apply_fn: Callable, image_size: tuple[int, int],
+                           num_classes: int,
+                           window: tuple[int, int] = (512, 1024),
+                           stride: tuple[int, int] | None = None,
+                           use_pallas: bool | None = None) -> Callable:
+    """Sliding-window analog of ``make_eval_step``:
+    ``eval_step(variables, images, labels, hist) -> hist``, jitted, with
+    the confusion-matrix update fused into the same program (wired from
+    config ``validation.sliding``)."""
+    from rtsds_tpu.eval.validate import _pallas_hist_available
+    from rtsds_tpu.utils.metrics import fast_hist
+
+    if use_pallas is None:
+        use_pallas = _pallas_hist_available()
+
+    def hist_update(labels, preds):
+        if use_pallas:
+            from rtsds_tpu.ops.pallas.hist import fast_hist_pallas
+
+            return fast_hist_pallas(labels, preds, num_classes)
+        return fast_hist(labels, preds, num_classes)
+
+    predict = make_sliding_predict(apply_fn, image_size, window, stride)
+
+    @jax.jit
+    def eval_step(variables, images, labels, hist):
+        preds = predict(variables, images)
+        return hist + hist_update(labels, preds)
+
+    return eval_step
