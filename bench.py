@@ -1,12 +1,18 @@
-"""Driver benchmark: BiSeNet 1024x2048 real-time inference FPS per chip.
+"""Driver benchmark: BOTH BASELINE.md targets in one TPU process.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the 200 FPS/chip v5e target from BASELINE.md (the reference
-publishes no numbers of its own; literature GPU baselines are 65-105 FPS).
-``vs_baseline`` is value / 200.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+primary record (BiSeNet 1024x2048 inference FPS/chip vs the 200 FPS/chip
+v5e target) plus a nested ``da_training`` record (fused v1 adversarial
+step, b8, 720x1280 source / 512x1024 target, bf16) carrying
+``vs_baseline_a100`` and ``vs_baseline_v5e8_target`` -- the ">5x A100"
+gate, driver-reproduced every round instead of living only in prose.
 
 Env knobs: BENCH_BATCH (default 64), BENCH_ITERS (default 4),
-BENCH_REPEATS (default 3).
+BENCH_REPEATS (default 3), BENCH_DA (0 skips the DA record),
+BENCH_DA_BATCH (default 8), BENCH_DA_STEPS (default 5).
+BENCH_MODEL=deeplab switches the inference record to DeepLabV2-R101 at
+512x1024 (manual model-coverage runs; the driver default stays bisenet --
+the reference harness is model-generic, utils.py:109, so ours is too).
 """
 
 from __future__ import annotations
@@ -17,15 +23,27 @@ import sys
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    model = os.environ.get("BENCH_MODEL", "bisenet")
     iters = int(os.environ.get("BENCH_ITERS", "4"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
-    from rtsds_tpu.bench.latency import bisenet_inference_benchmark
+    if model == "deeplab":
+        from rtsds_tpu.bench.latency import deeplab_inference_benchmark
 
-    stats = bisenet_inference_benchmark(
-        image_size=(1024, 2048), batch_size=batch, iterations=iters,
-        repeats=repeats, warmup=1)
+        batch = int(os.environ.get("BENCH_BATCH", "8"))
+        size = (512, 1024)
+        stats = deeplab_inference_benchmark(
+            image_size=size, batch_size=batch, iterations=iters,
+            repeats=repeats, warmup=1)
+        stats.setdefault("flops_per_call", float("nan"))
+    else:
+        from rtsds_tpu.bench.latency import bisenet_inference_benchmark
+
+        batch = int(os.environ.get("BENCH_BATCH", "64"))
+        size = (1024, 2048)
+        stats = bisenet_inference_benchmark(
+            image_size=size, batch_size=batch, iterations=iters,
+            repeats=repeats, warmup=1)
 
     # MFU against the v5e bf16 peak (197 TFLOP/s/chip); flops from the HLO
     flops = stats.get("flops_per_call", float("nan"))
@@ -33,9 +51,11 @@ def main():
     mfu = flops / mean_s / 197e12 if flops == flops and mean_s > 0 else None
 
     result = {
-        "metric": "bisenet_1024x2048_inference_fps_per_chip",
+        "metric": f"{model}_{size[0]}x{size[1]}_inference_fps_per_chip",
         "value": round(stats["fps"], 2),
         "unit": "images/sec",
+        # the BASELINE target (>200 FPS/chip) is defined for bisenet; the
+        # deeplab record reports against the same denominator for context
         "vs_baseline": round(stats["fps"] / 200.0, 3),
         "p50_ms": round(stats["p50_ms"], 3),          # per batch call
         "p50_ms_per_image": round(stats["p50_ms"] / batch, 3),
@@ -45,6 +65,36 @@ def main():
         "flops_per_image": (round(flops / batch) if flops == flops else None),
         "mfu_vs_v5e_bf16_peak": (round(mfu, 4) if mfu is not None else None),
     }
+
+    if os.environ.get("BENCH_DA", "1") != "0":
+        from rtsds_tpu.bench.da_bench import (
+            A100_REFERENCE_STEPS_PER_SEC,
+            TARGET_MULTIPLE,
+            V5E8_CHIPS,
+            da_step_benchmark,
+        )
+
+        da_batch = int(os.environ.get("BENCH_DA_BATCH", "8"))
+        da_steps = int(os.environ.get("BENCH_DA_STEPS", "5"))
+        da = da_step_benchmark(batch_size=da_batch, steps=da_steps)
+        sps = da["steps_per_sec"]
+        result["da_training"] = {
+            "metric": "da_train_steps_per_sec_per_chip",
+            "value": round(sps, 3),
+            "unit": "steps/sec",
+            "ms_per_step": round(da["ms_per_step"], 2),
+            "batch_size": da_batch,
+            "src_hw": da["src_hw"],
+            "tgt_hw": da["tgt_hw"],
+            "dtype": da["dtype"],
+            # single chip vs the derived single-A100 rate (BASELINE.md)
+            "vs_baseline_a100": round(sps / A100_REFERENCE_STEPS_PER_SEC, 3),
+            # the BASELINE gate: v5e-8 aggregate vs 5x the A100 rate
+            "vs_baseline_v5e8_target": round(
+                sps * V5E8_CHIPS
+                / (A100_REFERENCE_STEPS_PER_SEC * TARGET_MULTIPLE), 3),
+        }
+
     print(json.dumps(result))
 
 

@@ -164,6 +164,7 @@ def deeplab_inference_benchmark(image_size=(512, 1024), batch_size: int = 4,
     stats = latency_benchmark(forward, (variables, x), iterations=iterations,
                               repeats=repeats, warmup=warmup,
                               images_per_call=batch_size, chain_index=1)
+    stats["flops_per_call"] = program_flops(forward, variables, x)
     stats.update({"model": "deeplabv2-resnet101",
                   "image_size": list(image_size),
                   "batch_size": batch_size,

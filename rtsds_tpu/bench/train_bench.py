@@ -1,0 +1,98 @@
+"""Model-generic supervised train-step bench.
+
+The reference's bench harness is model-generic (``utils.py:109`` takes any
+``model``); ours is too: ``supervised_step_benchmark("bisenet"|"deeplab")``
+times the fused supervised train step (forward + CE losses + backward +
+optimizer update in ONE jit program, ``train/supervised.py``).
+
+Timing uses the state-chaining fence of ``da_bench``: consecutive steps
+chain through the evolving TrainState and a final host scalar fetch fences
+the whole sequence, so async dispatch (and the axon backend's unreliable
+``block_until_ready``) cannot fake the rate.
+
+Run: ``python -m rtsds_tpu.bench.train_bench`` (env: TRAIN_MODEL,
+TRAIN_BATCH, TRAIN_SIZE "H,W", TRAIN_STEPS).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def supervised_step_benchmark(model_name: str = "bisenet",
+                              batch_size: int = 8,
+                              image_size=(720, 1280),
+                              num_classes: int = 19,
+                              steps: int = 5, repeats: int = 3,
+                              dtype=jnp.bfloat16) -> dict:
+    from rtsds_tpu.train.optim import make_optimizer
+    from rtsds_tpu.train.state import create_train_state
+    from rtsds_tpu.train.supervised import make_train_step
+    from rtsds_tpu.utils.schedules import poly_lr_schedule
+
+    if model_name == "deeplab":
+        from rtsds_tpu.models.deeplabv2 import DeepLabV2
+
+        model = DeepLabV2(num_classes=num_classes, dtype=dtype)
+    elif model_name == "bisenet":
+        from rtsds_tpu.models.bisenet import BiSeNet
+
+        model = BiSeNet(num_classes=num_classes, context_path="resnet18",
+                        dtype=dtype)
+    else:
+        raise ValueError(f"unknown model {model_name!r}")
+
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (batch_size, *image_size, 3), jnp.float32)
+    labels = jnp.zeros((batch_size, *image_size), jnp.int32)
+    tx = make_optimizer("Adam", poly_lr_schedule(1e-4, 5000, 0.9))
+    state = create_train_state(model, key, jnp.zeros_like(x), tx)
+    step = make_train_step(ignore_index=num_classes, donate=False)
+
+    def run_n(state, n):
+        for _ in range(n):
+            state, metrics = step(state, x, labels)
+        return state, metrics
+
+    state, metrics = run_n(state, 1)  # compile
+    float(metrics["train_loss"])      # fence
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, metrics = run_n(state, steps)
+        float(metrics["train_loss"])  # state chain + fetch = hard fence
+        times.append((time.perf_counter() - t0) / steps)
+
+    best = min(times)
+    return {
+        "model": model_name,
+        "steps_per_sec": 1.0 / best,
+        "ms_per_step": best * 1000.0,
+        "ms_per_sample": best * 1000.0 / batch_size,
+        "batch_size": batch_size,
+        "image_size": list(image_size),
+        "dtype": str(getattr(dtype, "__name__", dtype)),
+    }
+
+
+def main():
+    model = os.environ.get("TRAIN_MODEL", "bisenet")
+    batch = int(os.environ.get("TRAIN_BATCH", "8"))
+    size = tuple(int(v) for v in
+                 os.environ.get("TRAIN_SIZE", "720,1280").split(","))
+    steps = int(os.environ.get("TRAIN_STEPS", "5"))
+    stats = supervised_step_benchmark(model, batch_size=batch,
+                                      image_size=size, steps=steps)
+    print(json.dumps({"metric": f"{model}_supervised_train_step",
+                      "value": round(stats["ms_per_step"], 2),
+                      "unit": "ms/step", **stats}))
+
+
+if __name__ == "__main__":
+    main()

@@ -222,8 +222,43 @@ def _device_batches(loader, transform, mesh, key=None, augment=False,
     return gen()
 
 
+def _build_eval_step(config, apply_fn, image_size, num_classes):
+    """Validation-protocol eval step from config ``validation:`` --
+    multi-scale+flip ensemble or sliding-window (ours; the reference has
+    no eval protocol beyond a plain forward, ``validation.py:45-51``).
+    Returns None when neither is enabled (the loops build the default
+    plain eval step)."""
+    from rtsds_tpu.config import parse_float_list
+
+    vcfg = config.get("validation")
+    ens = vcfg.get("ensemble") if vcfg else None
+    sld = vcfg.get("sliding") if vcfg else None
+    ens_on = bool(ens and ens.get("enabled", False))
+    sld_on = bool(sld and sld.get("enabled", False))
+    if ens_on and sld_on:
+        raise SystemExit("validation.ensemble and validation.sliding are "
+                         "mutually exclusive; enable at most one")
+    if ens_on:
+        from rtsds_tpu.eval.ensemble import make_ensemble_eval_step
+
+        scales = parse_float_list(ens.get("scales", "0.75, 1.0, 1.25"))
+        return make_ensemble_eval_step(
+            apply_fn, image_size, num_classes, scales=scales,
+            flip=bool(ens.get("flip", True)))
+    if sld_on:
+        from rtsds_tpu.eval.sliding import make_sliding_eval_step
+
+        window = tuple(parse_int_list(sld.get("window", "512, 1024")))
+        stride = sld.get("stride") or None
+        if stride:
+            stride = tuple(parse_int_list(stride))
+        return make_sliding_eval_step(apply_fn, image_size, num_classes,
+                                      window=window, stride=stride)
+    return None
+
+
 def _run_validation_only(states: dict, which: str, checkpoint, val_batches,
-                         num_classes: int, class_names):
+                         num_classes: int, class_names, eval_step=None):
     """--validate_only: restore the best (else latest) checkpoint and run
     one validation pass; no training."""
     from rtsds_tpu.eval.validate import validate
@@ -247,7 +282,8 @@ def _run_validation_only(states: dict, which: str, checkpoint, val_batches,
             f"{checkpoint.save_dir} does not match this run's model "
             f"(restore skipped)")
     miou, _ = validate(restored[which], val_batches(0), num_classes,
-                       class_names=class_names, detailed_report=True)
+                       class_names=class_names, detailed_report=True,
+                       eval_step=eval_step)
     print(f"validate_only: checkpoint step {step} -> "
           f"validation_mIoU = {miou:.6f}")
     return miou
@@ -334,11 +370,15 @@ def _main(argv=None):
         def val_batches(_epoch):
             return _device_batches(data["cs_val"], data["cs_transform"], mesh)
 
+        eval_step = _build_eval_step(config, gen_state.apply_fn,
+                                     data["cs_size"],
+                                     int(tcfg["num_classes"]))
+
         if args.validate_only:
             _run_validation_only(
                 {"generator": gen_state, "discriminator": dis_state},
                 "generator", checkpoint, val_batches,
-                int(tcfg["num_classes"]), class_names)
+                int(tcfg["num_classes"]), class_names, eval_step=eval_step)
             return
 
         start_epoch = 0
@@ -374,7 +414,7 @@ def _main(argv=None):
                 do_validation=int(tcfg["do_validation"]),
                 checkpoint=checkpoint,
                 when_print=int(tcfg.get("when_print", -1)),
-                start_epoch=start_epoch)
+                start_epoch=start_epoch, eval_step=eval_step)
         except Preempted as e:
             if checkpoint is not None:
                 print(f"Preempted ({e}); exiting -- restart with --resume "
@@ -406,8 +446,36 @@ def _main(argv=None):
 
         cfg_model = config.model[
             "bisenet" if args.model == "bisenet" else "deeplab"]
-        train_step = make_train_step(
-            ignore_index=cfg_model["criterion"].get("ignore_index"))
+        ignore_index = cfg_model["criterion"].get("ignore_index")
+        accumulate_steps = int(tcfg.get("accumulate_steps", 1))
+        if accumulate_steps > 1:
+            # K micro-batches through one lax.scan jit program, one
+            # optimizer update (train/accumulate.py); the configured
+            # batch_size is split K ways
+            from rtsds_tpu.train.accumulate import (
+                make_accumulating_train_step,
+                split_microbatches,
+            )
+
+            if bs % accumulate_steps:
+                raise SystemExit(
+                    f"batch_size {bs} does not divide into "
+                    f"accumulate_steps={accumulate_steps} micro-batches")
+            acc_step = make_accumulating_train_step(ignore_index=ignore_index)
+
+            def train_step(st, images, labels):
+                return acc_step(st,
+                                split_microbatches(images, accumulate_steps),
+                                split_microbatches(labels, accumulate_steps))
+        else:
+            train_step = make_train_step(ignore_index=ignore_index)
+
+        ema_cfg = tcfg.get("ema")
+        ema_decay = (float(ema_cfg.get("decay", 0.999))
+                     if ema_cfg and bool(ema_cfg.get("enabled", False))
+                     else None)
+        eval_step = _build_eval_step(config, state.apply_fn, data["cs_size"],
+                                     int(tcfg["num_classes"]))
 
         def train_batches(epoch):
             # fold the epoch into the augmentation key: without this the
@@ -423,7 +491,7 @@ def _main(argv=None):
         if args.validate_only:
             _run_validation_only({"model": state}, "model", checkpoint,
                                  val_batches, int(tcfg["num_classes"]),
-                                 class_names)
+                                 class_names, eval_step=eval_step)
             return
 
         start_epoch = 0
@@ -441,7 +509,8 @@ def _main(argv=None):
                 num_classes=int(tcfg["num_classes"]),
                 class_names=class_names, callbacks=callbacks,
                 do_validation=int(tcfg["do_validation"]),
-                checkpoint=checkpoint, start_epoch=start_epoch)
+                checkpoint=checkpoint, start_epoch=start_epoch,
+                eval_step=eval_step, ema_decay=ema_decay)
         except Preempted as e:
             if checkpoint is not None:
                 print(f"Preempted ({e}); exiting -- restart with --resume "

@@ -86,18 +86,25 @@ def _translate_key(key: str) -> tuple[str, tuple[str, ...]] | None:
 
 
 def convert_torch_state_dict(state_dict: Mapping[str, object],
-                             strip_prefix: bool = False) -> dict:
+                             strip_prefix: bool = False,
+                             strict: bool = False) -> dict:
     """Convert a torch state dict into ``{"params": ..., "batch_stats": ...}``.
 
     ``strip_prefix=True`` drops the first dotted segment of every key, the
     reference's DeepLab ingestion rule (``deeplabv2.py:185-187``).
+    ``strict=True`` raises on any key the translator cannot map (instead
+    of silently dropping it) -- ``num_batches_tracked`` counters are
+    always an intentional skip, never an error.
     """
     out: dict = {"params": {}, "batch_stats": {}}
+    unmapped: list[str] = []
     for key, value in state_dict.items():
         if strip_prefix:
             key = key.split(".", 1)[-1]
         translated = _translate_key(key)
         if translated is None:
+            if not key.endswith("num_batches_tracked"):
+                unmapped.append(key)
             continue
         collection, path = translated
         arr = _to_numpy(value)
@@ -107,6 +114,9 @@ def convert_torch_state_dict(state_dict: Mapping[str, object],
         for p in path[:-1]:
             node = node.setdefault(p, {})
         node[path[-1]] = arr
+    if strict and unmapped:
+        raise ValueError(
+            f"checkpoint keys the converter cannot map: {unmapped}")
     return out
 
 
@@ -133,7 +143,7 @@ def _merge(dst: dict, src: dict, path: str = "",
 
 def merge_pretrained(variables: dict, converted: dict,
                      submodule: str | None = None, verbose: bool = True,
-                     dtype=None) -> dict:
+                     dtype=None, report: dict | None = None) -> dict:
     """Load converted weights into a freshly-initialized variable tree.
 
     ``submodule`` targets a nested scope (e.g. ``"context_path"`` to load a
@@ -161,6 +171,9 @@ def merge_pretrained(variables: dict, converted: dict,
     if verbose:
         print(f"pretrained: loaded {total_loaded} tensors"
               + (f", skipped {len(all_skipped)}" if all_skipped else ""))
+    if report is not None:  # coverage audit: exactly what loaded/skipped
+        report["loaded"] = total_loaded
+        report["skipped"] = all_skipped
     return variables
 
 

@@ -76,13 +76,21 @@ def train_epoch(state, train_step, batches: Iterable, epoch: int,
 def supervised_fit(state, train_step, make_train_batches: Callable,
                    make_val_batches: Callable, epochs: int, num_classes: int,
                    class_names=None, callbacks=None, do_validation: int = 1,
-                   checkpoint=None, start_epoch: int = 0):
+                   checkpoint=None, start_epoch: int = 0, eval_step=None,
+                   ema_decay: float | None = None):
     """Full supervised run: epochs x (train_epoch + val) (``main.py:349-374``).
 
     ``start_epoch`` > 0 resumes mid-run (see ModelCheckpoint.resume);
     combined with the loaders' epoch-keyed shuffles and the epoch-folded
     augmentation keys, a resumed run consumes exactly the batches the
     uninterrupted run would have.
+
+    ``eval_step`` overrides the default validation program (e.g. the
+    multi-scale ensemble or sliding-window protocols, config
+    ``validation:``).  ``ema_decay`` maintains an exponential moving
+    average of the params alongside training and VALIDATES on the EMA
+    weights (checkpoints keep the raw training params: resume restarts
+    the EMA from the restored params).
     """
     callbacks = callbacks or []
     if checkpoint is not None:
@@ -92,8 +100,27 @@ def supervised_fit(state, train_step, make_train_batches: Callable,
     # return_preds must be on whenever an image-plot callback is listening,
     # otherwise validate() never calls add_sample and no images are written
     plot_cbs = any(hasattr(cb, "add_sample") for cb in callbacks)
-    eval_step = make_eval_step(state.apply_fn, num_classes,
-                               return_preds=plot_cbs)
+    if eval_step is None:
+        eval_step = make_eval_step(state.apply_fn, num_classes,
+                                   return_preds=plot_cbs)
+    ema_params = None
+    if ema_decay is not None:
+        import jax
+
+        from rtsds_tpu.train.ema import ema_init, ema_update
+
+        ema_params = ema_init(state.params)
+        ema_apply = jax.jit(
+            lambda e, p, s: ema_update(e, p, decay=ema_decay, step=s))
+        base_step = train_step
+
+        def train_step(st, images, labels):  # noqa: F811 -- EMA wrapper
+            nonlocal ema_params
+            new_state, metrics = base_step(st, images, labels)
+            ema_params = ema_apply(ema_params, new_state.params,
+                                   new_state.step)
+            return new_state, metrics
+
     history = []
     try:
         for epoch in range(start_epoch, epochs):
@@ -104,8 +131,10 @@ def supervised_fit(state, train_step, make_train_batches: Callable,
                                             make_train_batches(epoch), epoch,
                                             callbacks)
             if do_validation and epoch % do_validation == 0:
+                val_state = (state.replace(params=ema_params)
+                             if ema_params is not None else state)
                 miou, per_class = validate(
-                    state, make_val_batches(epoch), num_classes,
+                    val_state, make_val_batches(epoch), num_classes,
                     class_names=class_names, epoch=epoch, callbacks=callbacks,
                     detailed_report=class_names is not None,
                     eval_step=eval_step)
@@ -128,7 +157,7 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
                     num_classes: int, class_names=None, callbacks=None,
                     do_validation: int = 1, checkpoint=None,
                     variant: str = "v1", when_print: int = -1,
-                    start_epoch: int = 0):
+                    start_epoch: int = 0, eval_step=None):
     """Adversarial DA loop (``train.py:130-319`` / ``:322-500``).
 
     ``source_iter`` / ``target_iter`` are infinite device-batch iterators
@@ -141,8 +170,9 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
         if checkpoint not in callbacks:
             callbacks = [*callbacks, checkpoint]
     plot_cbs = any(hasattr(cb, "add_sample") for cb in callbacks)
-    eval_step = make_eval_step(gen_state.apply_fn, num_classes,
-                               return_preds=plot_cbs)
+    if eval_step is None:
+        eval_step = make_eval_step(gen_state.apply_fn, num_classes,
+                                   return_preds=plot_cbs)
     loss_keys = ["loss_gen_source", "loss_adversarial",
                  "loss_disc_source", "loss_disc_target"]
     history = []

@@ -52,3 +52,21 @@ def test_model_flops_smoke(key):
                         (1, 32, 64, 19))
     assert costs["parameters"] > 0
     assert np.isfinite(costs["flops"]) and costs["flops"] > 0
+
+
+def test_supervised_step_benchmark_structure():
+    """Model-generic train-step bench (utils.py:109 analog) runs on tiny
+    CPU shapes and reports the expected fields for both models."""
+    from rtsds_tpu.bench.train_bench import supervised_step_benchmark
+
+    stats = supervised_step_benchmark("bisenet", batch_size=1,
+                                      image_size=(32, 64), steps=1,
+                                      repeats=1, dtype=None)
+    assert stats["model"] == "bisenet"
+    assert stats["ms_per_step"] >= 0
+    assert stats["ms_per_sample"] == stats["ms_per_step"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown model"):
+        supervised_step_benchmark("nope")

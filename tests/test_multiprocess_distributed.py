@@ -105,30 +105,60 @@ def _free_port():
 
 @pytest.mark.slow
 def test_two_process_distributed_input_pipeline(tmp_path):
+    import time
+
     port = _free_port()
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
     env = {**os.environ, "PYTHONPATH": os.getcwd(),
            "JAX_PLATFORMS": "cpu"}
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    # file-backed output (not PIPE): no pipe-buffer deadlock, and logs
+    # survive for post-mortem on failure
+    logs = [tmp_path / f"rank{rank}.log" for rank in (0, 1)]
+    handles = [open(log, "w") for log in logs]
     procs = [subprocess.Popen(
         [sys.executable, str(worker), str(rank), str(port)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        stdout=handles[rank], stderr=subprocess.STDOUT, text=True,
         env=env, cwd=os.getcwd()) for rank in (0, 1)]
-    outs = []
-    for p in procs:
-        try:
-            # generous: under a fully-loaded box (the rest of the suite
-            # competing for every core) the two workers' compile+barrier
-            # can take several minutes -- 300 s flaked twice
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
+
+    def read_logs():
+        for h in handles:
+            h.flush()
+        return [log.read_text() for log in logs]
+
+    # Poll with one SHARED deadline (not a fixed per-process wait): on a
+    # loaded box the compile+barrier can take minutes, but if either rank
+    # dies its peer would hang on the collective until the full timeout --
+    # fail fast with the dead rank's log instead.
+    deadline = time.monotonic() + 900
+    pending = {0: procs[0], 1: procs[1]}
+    while pending:
+        for rank in list(pending):
+            ret = pending[rank].poll()
+            if ret is None:
+                continue
+            del pending[rank]
+            if ret != 0:
+                for q in procs:
+                    if q.poll() is None:
+                        q.kill()
+                        q.wait()
+                pytest.fail(f"rank {rank} exited with {ret}:\n"
+                            f"{read_logs()[rank][-3000:]}")
+        if pending and time.monotonic() > deadline:
             for q in procs:
-                q.kill()
-            pytest.fail("distributed workers timed out")
-        outs.append(out)
-    for rank, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
+                if q.poll() is None:
+                    q.kill()
+                    q.wait()
+            outs = read_logs()
+            pytest.fail("distributed workers timed out; logs:\n"
+                        + "\n----\n".join(o[-1500:] for o in outs))
+        if pending:
+            time.sleep(0.5)
+    outs = read_logs()
+    for h in handles:
+        h.close()
 
     means = []
     for out in outs:
