@@ -157,8 +157,11 @@ def build_callbacks(config, use_wandb: bool, mode_suffix: str = ""):
                                        run_name=wb["run_name"],
                                        config=config._asdict(),
                                        note=wb["note"]))
+    # a section set to null (or {}) in the user YAML disables it -- the
+    # deep-merged defaults would otherwise make the default callbacks
+    # impossible to turn off
     checkpoint = None
-    if "model_checkpoint" in cb_cfg:
+    if cb_cfg.get("model_checkpoint"):
         mc = cb_cfg["model_checkpoint"]
         # namespace per training mode so supervised and DA runs sharing a
         # config don't collide on incompatible checkpoint item sets
@@ -168,16 +171,16 @@ def build_callbacks(config, use_wandb: bool, mode_suffix: str = ""):
             monitor=mc.get("monitor", "validation_mIoU"),
             mode=mc.get("mode", "max"),
             save_freq=int(mc.get("save_freq", 1)))
-    if "early_stopping" in cb_cfg:
+    if cb_cfg.get("early_stopping"):
         es = cb_cfg["early_stopping"]
         callbacks.append(EarlyStopping(
             monitor=es.get("monitor", "validation_mIoU"),
             mode=es.get("mode", "max"),
             patience=int(es.get("patience", 5))))
-    if "history" in cb_cfg:
+    if cb_cfg.get("history"):
         callbacks.append(HistoryCallback(
             path=cb_cfg["history"].get("path", "history.jsonl")))
-    if "images_plots" in cb_cfg:
+    if cb_cfg.get("images_plots"):
         ip = cb_cfg["images_plots"]
         callbacks.append(ImagePlotsCallback(
             save_dir=ip.get("save_dir", "images"),
@@ -373,6 +376,10 @@ def _main(argv=None):
         eval_step = _build_eval_step(config, gen_state.apply_fn,
                                      data["cs_size"],
                                      int(tcfg["num_classes"]))
+        ema_cfg = tcfg.get("ema")
+        ema_decay = (float(ema_cfg.get("decay", 0.999))
+                     if ema_cfg and bool(ema_cfg.get("enabled", False))
+                     else None)
 
         if args.validate_only:
             _run_validation_only(
@@ -414,7 +421,8 @@ def _main(argv=None):
                 do_validation=int(tcfg["do_validation"]),
                 checkpoint=checkpoint,
                 when_print=int(tcfg.get("when_print", -1)),
-                start_epoch=start_epoch, eval_step=eval_step)
+                start_epoch=start_epoch, eval_step=eval_step,
+                ema_decay=ema_decay)
         except Preempted as e:
             if checkpoint is not None:
                 print(f"Preempted ({e}); exiting -- restart with --resume "

@@ -235,6 +235,9 @@ _DEFAULTS: dict = {
             # ours: select the reference's v1 or v2 loop semantics
             # (train.py:130 vs train.py:322)
             "variant": "v1",
+            # ours: mean-teacher EMA of the GENERATOR params; validation
+            # runs on the EMA weights when enabled
+            "ema": {"enabled": False, "decay": 0.999},
         },
     },
     # ours: validation-time inference protocol (eval/ensemble.py,

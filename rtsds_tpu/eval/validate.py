@@ -47,6 +47,27 @@ def _pallas_hist_available() -> bool:
     return _PALLAS_HIST_OK
 
 
+def _host_local(a) -> np.ndarray:
+    """Array -> host numpy; for multi-process global arrays (which cannot
+    be fetched whole: they span non-addressable devices) returns the
+    concatenation of this process's addressable shards -- image-plot
+    callbacks then sample the local part of the batch, which is exactly
+    the data this host loaded."""
+    try:
+        return np.asarray(a)
+    except RuntimeError:
+        shards = sorted(a.addressable_shards,
+                        key=lambda s: (s.index[0].start or 0))
+        seen = set()
+        parts = []
+        for s in shards:  # replicated shards repeat an index: keep one
+            start = s.index[0].start or 0
+            if start not in seen:
+                seen.add(start)
+                parts.append(np.asarray(s.data))
+        return np.concatenate(parts)
+
+
 def make_eval_step(apply_fn: Callable, num_classes: int,
                    return_preds: bool = False,
                    use_pallas: bool | None = None):
@@ -113,8 +134,8 @@ def validate(state, val_iter: Iterable, num_classes: int,
             hist, preds = result
             for cb in plot_cbs:
                 cb.set_epoch(epoch)
-                cb.add_sample(np.asarray(images), np.asarray(labels),
-                              np.asarray(preds))
+                cb.add_sample(_host_local(images), _host_local(labels),
+                              _host_local(preds))
         else:
             hist = result
         # per-batch running-accuracy callbacks (validation.py:57-66) force a

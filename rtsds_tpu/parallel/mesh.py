@@ -40,6 +40,15 @@ def make_mesh(devices=None, axis_name: str = "data",
         while n > 1 and batch_size % n != 0:
             n -= 1
         if n < len(devices):
+            if jax.process_count() > 1:
+                # trimming devices in a multi-process job can leave a
+                # process with ZERO addressable shards of the global batch
+                # (make_array_from_process_local_data then fails with an
+                # opaque "Process addresses 0 elements") -- fail clearly
+                raise ValueError(
+                    f"multihost: global batch {batch_size} must divide by "
+                    f"the total device count {len(devices)}; trimming to "
+                    f"{n} device(s) would idle entire processes")
             import warnings
 
             warnings.warn(
@@ -261,9 +270,20 @@ def initialize_multihost(coordinator_address: str | None = None,
     """Multi-slice / multi-host entry (``jax.distributed.initialize``).
 
     On Cloud TPU the arguments are auto-detected from the metadata server;
-    pass them explicitly elsewhere.  After this, ``jax.devices()`` spans the
-    full job and :func:`make_mesh` lays the data axis across ICI + DCN.
+    elsewhere pass them explicitly or export
+    ``RTSDS_COORDINATOR_ADDRESS`` / ``RTSDS_NUM_PROCESSES`` /
+    ``RTSDS_PROCESS_ID`` (e.g. one ``python main.py --multihost`` per node
+    on a plain cluster).  After this, ``jax.devices()`` spans the full job
+    and :func:`make_mesh` lays the data axis across ICI + DCN.
     """
+    import os
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("RTSDS_COORDINATOR_ADDRESS")
+    if num_processes is None and "RTSDS_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["RTSDS_NUM_PROCESSES"])
+    if process_id is None and "RTSDS_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["RTSDS_PROCESS_ID"])
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -157,13 +157,17 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
                     num_classes: int, class_names=None, callbacks=None,
                     do_validation: int = 1, checkpoint=None,
                     variant: str = "v1", when_print: int = -1,
-                    start_epoch: int = 0, eval_step=None):
+                    start_epoch: int = 0, eval_step=None,
+                    ema_decay: float | None = None):
     """Adversarial DA loop (``train.py:130-319`` / ``:322-500``).
 
     ``source_iter`` / ``target_iter`` are infinite device-batch iterators
     (GTA5 / Cityscapes).  Per epoch: ``iterations`` fused G/D steps, the
     epoch summary table, per-class validation, checkpoint-on-best of both
     networks (cross-epoch best).
+
+    ``ema_decay`` keeps a mean-teacher EMA of the GENERATOR params and
+    validates on it (checkpoints keep the raw training params).
     """
     callbacks = callbacks or []
     if checkpoint is not None:
@@ -175,6 +179,15 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
                                    return_preds=plot_cbs)
     loss_keys = ["loss_gen_source", "loss_adversarial",
                  "loss_disc_source", "loss_disc_target"]
+    ema_params = None
+    if ema_decay is not None:
+        import jax
+
+        from rtsds_tpu.train.ema import ema_init, ema_update
+
+        ema_params = ema_init(gen_state.params)
+        ema_apply = jax.jit(
+            lambda e, p, s: ema_update(e, p, decay=ema_decay, step=s))
     history = []
 
     try:
@@ -213,6 +226,9 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
                 tgt_images, _ = next(target_iter)
                 gen_state, dis_state, metrics = da_step(
                     gen_state, dis_state, src_images, src_labels, tgt_images)
+                if ema_params is not None:
+                    ema_params = ema_apply(ema_params, gen_state.params,
+                                           gen_state.step)
                 if pending is not None:
                     consume(pending)
                 pending = (i, metrics)
@@ -229,8 +245,10 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
 
             if do_validation and epoch % do_validation == 0:
                 print("-" * 50, "Validation", "-" * 50)
+                val_state = (gen_state.replace(params=ema_params)
+                             if ema_params is not None else gen_state)
                 miou, per_class = validate(
-                    gen_state, make_val_batches(epoch), num_classes,
+                    val_state, make_val_batches(epoch), num_classes,
                     class_names=class_names, epoch=epoch, callbacks=callbacks,
                     detailed_report=True, eval_step=eval_step)
                 print("-" * 100)

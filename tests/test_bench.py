@@ -2,6 +2,7 @@
 XLA cost-analysis FLOPs path (utils.py:138-144 replacement)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,6 +55,7 @@ def test_model_flops_smoke(key):
     assert np.isfinite(costs["flops"]) and costs["flops"] > 0
 
 
+@pytest.mark.slow
 def test_supervised_step_benchmark_structure():
     """Model-generic train-step bench (utils.py:109 analog) runs on tiny
     CPU shapes and reports the expected fields for both models."""

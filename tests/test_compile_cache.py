@@ -4,6 +4,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import pytest
 
 
 def _restore_default_cache():
@@ -29,6 +30,7 @@ def test_enable_compilation_cache_populates_dir(tmp_path):
         _restore_default_cache()
 
 
+@pytest.mark.slow
 def test_cli_consumes_compilation_cache_key(tmp_path):
     """config `compilation_cache:` turns the cache on inside cli.main."""
     import yaml

@@ -51,3 +51,30 @@ def test_asdict_and_replace():
     cfg2 = cfg.replace(device="cpu")
     assert cfg2.device == "cpu"
     assert cfg.device == "tpu"  # original untouched
+
+
+def test_null_callback_section_disables_it(tmp_path):
+    """callbacks.<section>: null in the user YAML must DISABLE the
+    default callback (the deep-merged defaults are otherwise impossible
+    to turn off)."""
+    import yaml
+
+    from rtsds_tpu.cli import build_callbacks
+    from rtsds_tpu.config import load_config
+
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump({
+        "callbacks": {"model_checkpoint": None, "early_stopping": None,
+                      "images_plots": None}}))
+    cfg = load_config(str(p))
+    callbacks, checkpoint = build_callbacks(cfg, use_wandb=False)
+    assert checkpoint is None
+    assert callbacks == []
+
+    # defaults (no user override) still build checkpoint + early stopping
+    cfg2 = load_config(None)
+    callbacks2, checkpoint2 = build_callbacks(
+        cfg2.replace(callbacks={"model_checkpoint":
+                                {"save_dir": str(tmp_path / "ck"),
+                                 "save_name": "m"}}), use_wandb=False)
+    assert checkpoint2 is not None

@@ -158,3 +158,19 @@ def test_cli_da_with_ensemble_validation(tmp_path, monkeypatch):
     cli.main(["--config", cfg, "--synthetic", "--domain_adaptation"])
     assert recorder.train_ended
     assert recorder.val_logs
+
+
+@pytest.mark.slow
+def test_cli_da_ema(tmp_path, monkeypatch):
+    """training.domain_adaptation.ema: mean-teacher EMA of the generator
+    drives DA validation through the real CLI."""
+    from rtsds_tpu import cli
+
+    cfg = _config(tmp_path, {"training.domain_adaptation.ema":
+                             {"enabled": True, "decay": 0.9}})
+    recorder = _recording(monkeypatch)
+    cli.main(["--config", cfg, "--synthetic", "--domain_adaptation"])
+    assert recorder.train_ended
+    assert recorder.val_logs
+    assert all(np.isfinite(list(logs.values())).all()
+               for logs in recorder.batch_logs)

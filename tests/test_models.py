@@ -44,6 +44,7 @@ def test_bisenet_train_eval_contract(key):
     assert eval_out.shape == (2, 64, 128, 19)
 
 
+@pytest.mark.slow
 def test_bisenet_resnet101_channel_math(key):
     # FFM in_channels 3328 = 256 + 1024 + 2048 (build_bisenet.py:60-61)
     model = BiSeNet(num_classes=19, context_path="resnet101")

@@ -6,8 +6,10 @@ import numpy as np
 
 from rtsds_tpu.models.bisenet import BiSeNet
 from rtsds_tpu.ops.losses import cross_entropy
+import pytest
 
 
+@pytest.mark.slow
 def test_remat_identical_forward_and_grads(key, rng):
     x = jnp.asarray(rng.normal(size=(1, 32, 64, 3)).astype(np.float32))
     labels = jnp.asarray(rng.integers(0, 19, size=(1, 32, 64)))

@@ -1,6 +1,7 @@
 """Predictor serving path: shapes, padding/micro-batching, colorization."""
 
 import numpy as np
+import pytest
 
 from rtsds_tpu.serve import Predictor
 
@@ -44,6 +45,7 @@ def test_predictor_mesh_batch_and_spatial_match_single_device(rng):
     assert agree > 0.999, f"spatial-sharded masks diverge: {agree:.4f}"
 
 
+@pytest.mark.slow
 def test_predictor_mesh_validation(rng):
     import pytest
 

@@ -3,6 +3,7 @@ step must produce the same result as single-device (XLA inserts the psum;
 SURVEY.md §2.3)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -75,15 +76,30 @@ def test_sharded_step_matches_single_device(rng, key):
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import __graft_entry__ as g
 
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (1, 256, 512, 19)
+
+
+def test_make_mesh_multiprocess_rejects_indivisible_batch(monkeypatch):
+    """In a multi-process job a non-dividing global batch must FAIL (not
+    silently trim devices: trimming can idle an entire process, whose
+    make_array_from_process_local_data then dies with an opaque error)."""
+    import pytest
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="must divide"):
+        make_mesh(batch_size=3)
+    # divisible batches still work
+    assert make_mesh(batch_size=8).devices.size == 8

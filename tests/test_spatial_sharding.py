@@ -8,8 +8,10 @@ import numpy as np
 
 from rtsds_tpu.models.bisenet import BiSeNet
 from rtsds_tpu.parallel.mesh import make_mesh, replicated_sharding, shard_spatial
+import pytest
 
 
+@pytest.mark.slow
 def test_spatially_sharded_bisenet_matches_unsharded(key, rng):
     assert jax.device_count() >= 8
     model = BiSeNet(num_classes=19, context_path="resnet18")

@@ -159,6 +159,7 @@ def test_gen_disc_inits_uncorrelated(tmp_path, monkeypatch):
         "generator and discriminator share an init key"
 
 
+@pytest.mark.slow
 def test_config_mesh_spec_limits_devices(tmp_path, monkeypatch):
     """config mesh: {data: N} restricts the data-parallel mesh size."""
     from rtsds_tpu import cli
