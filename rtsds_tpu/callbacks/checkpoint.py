@@ -62,23 +62,45 @@ class CheckpointManager:
         self.manager.wait_until_finished()
 
     def restore(self, states: dict, step: int | None = None) -> dict:
-        """Restore into templates shaped like ``states``; returns new states."""
+        """Restore into templates shaped like ``states``; returns new states.
+
+        Item-tolerant: only the items present in BOTH the template and the
+        stored checkpoint are restored -- extra template items keep their
+        (fresh) state and extra stored items are ignored.  This lets a run
+        that later enables an optional item (e.g. ``ema``) resume an
+        older checkpoint instead of discarding it.  When NO template item
+        exists in the checkpoint (e.g. a supervised 'model' checkpoint
+        under a DA run's directory) the original ``states`` dict itself is
+        returned, which callers use as the skip signal.
+        """
         if step is None:
             step = self.manager.latest_step()
         if step is None:
             return states
+        try:
+            available = set(self.manager.item_metadata(int(step)).keys())
+        except Exception:
+            available = set(states)  # old backends: assume full match
+        names = [n for n in states if n in available]
+        if not names:
+            print(f"checkpoint restore skipped: step {step} holds "
+                  f"{sorted(available)}, wanted {sorted(states)}")
+            return states
+        missing = sorted(set(states) - set(names))
+        if missing:
+            print(f"checkpoint restore: items {missing} absent at step "
+                  f"{step}; restoring {names}, keeping fresh state for "
+                  f"the rest")
         args = self._ocp.args.Composite(**{
-            name: self._ocp.args.StandardRestore(_savable(state))
-            for name, state in states.items()})
+            name: self._ocp.args.StandardRestore(_savable(states[name]))
+            for name in names})
         try:
             restored = self.manager.restore(int(step), args=args)
         except KeyError as e:
-            # checkpoint holds different items (e.g. a supervised 'model'
-            # checkpoint under a DA run's directory): skip resume rather
-            # than crash
             print(f"checkpoint restore skipped: {e}")
             return states
-        return {name: _load_into(states[name], restored[name])
+        return {name: (_load_into(states[name], restored[name])
+                       if name in restored else states[name])
                 for name in states}
 
     def latest_step(self):

@@ -261,15 +261,23 @@ def _build_eval_step(config, apply_fn, image_size, num_classes):
 
 
 def _run_validation_only(states: dict, which: str, checkpoint, val_batches,
-                         num_classes: int, class_names, eval_step=None):
+                         num_classes: int, class_names, eval_step=None,
+                         use_ema: bool = False):
     """--validate_only: restore the best (else latest) checkpoint and run
-    one validation pass; no training."""
+    one validation pass; no training.
+
+    ``use_ema``: also restore the ``ema`` checkpoint item (written when
+    training ran with EMA enabled) and validate on those weights, so the
+    reported mIoU reproduces the training-time validation.
+    """
     from rtsds_tpu.eval.validate import validate
 
     if checkpoint is None:
         raise SystemExit(
             "--validate_only needs a callbacks.model_checkpoint config "
             "section to locate the checkpoint")
+    if use_ema:
+        states = {**states, "ema": {"params": states[which].params}}
     mgr = checkpoint.attach(lambda: states).manager
     step = mgr.best_step()
     if step is None:
@@ -279,12 +287,17 @@ def _run_validation_only(states: dict, which: str, checkpoint, val_batches,
             f"--validate_only: no checkpoint found under "
             f"{checkpoint.save_dir}")
     restored = mgr.restore(states, step=step)
-    if restored is states:  # restore skipped (mismatched items): random
-        raise SystemExit(  # weights must never masquerade as a result
+    # restore() hands back the TEMPLATE object for anything it could not
+    # find -- random weights must never masquerade as a result
+    if restored is states or restored[which] is states[which]:
+        raise SystemExit(
             f"--validate_only: checkpoint at step {step} under "
             f"{checkpoint.save_dir} does not match this run's model "
             f"(restore skipped)")
-    miou, _ = validate(restored[which], val_batches(0), num_classes,
+    val_state = restored[which]
+    if use_ema and restored.get("ema") is not states.get("ema"):
+        val_state = val_state.replace(params=restored["ema"]["params"])
+    miou, _ = validate(val_state, val_batches(0), num_classes,
                        class_names=class_names, detailed_report=True,
                        eval_step=eval_step)
     print(f"validate_only: checkpoint step {step} -> "
@@ -385,15 +398,24 @@ def _main(argv=None):
             _run_validation_only(
                 {"generator": gen_state, "discriminator": dis_state},
                 "generator", checkpoint, val_batches,
-                int(tcfg["num_classes"]), class_names, eval_step=eval_step)
+                int(tcfg["num_classes"]), class_names, eval_step=eval_step,
+                use_ema=ema_decay is not None)
             return
 
         start_epoch = 0
+        resumed_ema = None
         if args.resume and checkpoint is not None:
-            restored, start_epoch = checkpoint.resume(
-                {"generator": gen_state, "discriminator": dis_state})
+            templates = {"generator": gen_state, "discriminator": dis_state}
+            if ema_decay is not None:
+                templates["ema"] = {"params": gen_state.params}
+            restored, start_epoch = checkpoint.resume(templates)
             gen_state = restored["generator"]
             dis_state = restored["discriminator"]
+            # identity = restore() kept the template (no stored ema item):
+            # the loop then restarts the EMA from the restored params
+            if (ema_decay is not None
+                    and restored.get("ema") is not templates["ema"]):
+                resumed_ema = restored["ema"]["params"]
 
         # fast-forward the infinite source/target streams and the
         # augmentation counter past the completed epochs' batches, so the
@@ -422,7 +444,7 @@ def _main(argv=None):
                 checkpoint=checkpoint,
                 when_print=int(tcfg.get("when_print", -1)),
                 start_epoch=start_epoch, eval_step=eval_step,
-                ema_decay=ema_decay)
+                ema_decay=ema_decay, ema_params=resumed_ema)
         except Preempted as e:
             if checkpoint is not None:
                 print(f"Preempted ({e}); exiting -- restart with --resume "
@@ -499,13 +521,21 @@ def _main(argv=None):
         if args.validate_only:
             _run_validation_only({"model": state}, "model", checkpoint,
                                  val_batches, int(tcfg["num_classes"]),
-                                 class_names, eval_step=eval_step)
+                                 class_names, eval_step=eval_step,
+                                 use_ema=ema_decay is not None)
             return
 
         start_epoch = 0
+        resumed_ema = None
         if args.resume and checkpoint is not None:
-            restored, start_epoch = checkpoint.resume({"model": state})
+            templates = {"model": state}
+            if ema_decay is not None:
+                templates["ema"] = {"params": state.params}
+            restored, start_epoch = checkpoint.resume(templates)
             state = restored["model"]
+            if (ema_decay is not None
+                    and restored.get("ema") is not templates["ema"]):
+                resumed_ema = restored["ema"]["params"]
             # fast-forward the shuffle so resumed epochs see exactly the
             # sample order the uninterrupted run would have drawn
             train_loader.set_epoch(start_epoch)
@@ -518,7 +548,8 @@ def _main(argv=None):
                 class_names=class_names, callbacks=callbacks,
                 do_validation=int(tcfg["do_validation"]),
                 checkpoint=checkpoint, start_epoch=start_epoch,
-                eval_step=eval_step, ema_decay=ema_decay)
+                eval_step=eval_step, ema_decay=ema_decay,
+                ema_params=resumed_ema)
         except Preempted as e:
             if checkpoint is not None:
                 print(f"Preempted ({e}); exiting -- restart with --resume "

@@ -220,8 +220,8 @@ _DEFAULTS: dict = {
             # divide by it
             "accumulate_steps": 1,
             # ours: exponential moving average of params (train/ema.py);
-            # validation runs on the EMA weights when enabled (checkpoints
-            # keep the raw training params)
+            # validation runs on the EMA weights when enabled; the EMA tree
+            # is checkpointed as an 'ema' item and restored on resume
             "ema": {"enabled": False, "decay": 0.999},
         },
         "domain_adaptation": {

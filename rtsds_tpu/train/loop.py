@@ -77,7 +77,7 @@ def supervised_fit(state, train_step, make_train_batches: Callable,
                    make_val_batches: Callable, epochs: int, num_classes: int,
                    class_names=None, callbacks=None, do_validation: int = 1,
                    checkpoint=None, start_epoch: int = 0, eval_step=None,
-                   ema_decay: float | None = None):
+                   ema_decay: float | None = None, ema_params=None):
     """Full supervised run: epochs x (train_epoch + val) (``main.py:349-374``).
 
     ``start_epoch`` > 0 resumes mid-run (see ModelCheckpoint.resume);
@@ -89,12 +89,20 @@ def supervised_fit(state, train_step, make_train_batches: Callable,
     multi-scale ensemble or sliding-window protocols, config
     ``validation:``).  ``ema_decay`` maintains an exponential moving
     average of the params alongside training and VALIDATES on the EMA
-    weights (checkpoints keep the raw training params: resume restarts
-    the EMA from the restored params).
+    weights; the EMA tree is checkpointed as an ``ema`` item so
+    ``--validate_only``/serving can reproduce the reported mIoU, and
+    ``ema_params`` (from a resume) seeds it -- otherwise it restarts
+    from the current params.
     """
     callbacks = callbacks or []
+
+    def _states():
+        out = {"model": state}
+        if ema_params is not None:
+            out["ema"] = {"params": ema_params}
+        return out
+
     if checkpoint is not None:
-        checkpoint.attach(lambda: {"model": state})
         if checkpoint not in callbacks:
             callbacks = [*callbacks, checkpoint]
     # return_preds must be on whenever an image-plot callback is listening,
@@ -103,13 +111,13 @@ def supervised_fit(state, train_step, make_train_batches: Callable,
     if eval_step is None:
         eval_step = make_eval_step(state.apply_fn, num_classes,
                                    return_preds=plot_cbs)
-    ema_params = None
     if ema_decay is not None:
         import jax
 
         from rtsds_tpu.train.ema import ema_init, ema_update
 
-        ema_params = ema_init(state.params)
+        if ema_params is None:  # not seeded by a resume: restart from now
+            ema_params = ema_init(state.params)
         ema_apply = jax.jit(
             lambda e, p, s: ema_update(e, p, decay=ema_decay, step=s))
         base_step = train_step
@@ -120,12 +128,14 @@ def supervised_fit(state, train_step, make_train_batches: Callable,
             ema_params = ema_apply(ema_params, new_state.params,
                                    new_state.step)
             return new_state, metrics
+    else:
+        ema_params = None  # stray ema state without a decay is ignored
 
     history = []
     try:
         for epoch in range(start_epoch, epochs):
             if checkpoint is not None:
-                checkpoint.attach(lambda: {"model": state})
+                checkpoint.attach(_states)
                 checkpoint._epoch = epoch
             state, train_logs = train_epoch(state, train_step,
                                             make_train_batches(epoch), epoch,
@@ -158,7 +168,7 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
                     do_validation: int = 1, checkpoint=None,
                     variant: str = "v1", when_print: int = -1,
                     start_epoch: int = 0, eval_step=None,
-                    ema_decay: float | None = None):
+                    ema_decay: float | None = None, ema_params=None):
     """Adversarial DA loop (``train.py:130-319`` / ``:322-500``).
 
     ``source_iter`` / ``target_iter`` are infinite device-batch iterators
@@ -166,8 +176,10 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
     epoch summary table, per-class validation, checkpoint-on-best of both
     networks (cross-epoch best).
 
-    ``ema_decay`` keeps a mean-teacher EMA of the GENERATOR params and
-    validates on it (checkpoints keep the raw training params).
+    ``ema_decay`` keeps a mean-teacher EMA of the GENERATOR params,
+    validates on it and checkpoints it as an ``ema`` item (so
+    ``--validate_only``/serving reproduce the reported mIoU);
+    ``ema_params`` (from a resume) seeds it.
     """
     callbacks = callbacks or []
     if checkpoint is not None:
@@ -179,15 +191,24 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
                                    return_preds=plot_cbs)
     loss_keys = ["loss_gen_source", "loss_adversarial",
                  "loss_disc_source", "loss_disc_target"]
-    ema_params = None
     if ema_decay is not None:
         import jax
 
         from rtsds_tpu.train.ema import ema_init, ema_update
 
-        ema_params = ema_init(gen_state.params)
+        if ema_params is None:  # not seeded by a resume
+            ema_params = ema_init(gen_state.params)
         ema_apply = jax.jit(
             lambda e, p, s: ema_update(e, p, decay=ema_decay, step=s))
+    else:
+        ema_params = None
+
+    def _states():
+        out = {"generator": gen_state, "discriminator": dis_state}
+        if ema_params is not None:
+            out["ema"] = {"params": ema_params}
+        return out
+
     history = []
 
     try:
@@ -195,8 +216,7 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
             _fan_out(callbacks, "on_train_begin")
             if checkpoint is not None:
                 checkpoint._epoch = epoch
-                checkpoint.attach(lambda: {"generator": gen_state,
-                                           "discriminator": dis_state})
+                checkpoint.attach(_states)
             running = {k: 0.0 for k in loss_keys}
             correct = 0
             total = 0

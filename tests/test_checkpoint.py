@@ -93,3 +93,38 @@ def test_emergency_keeps_existing_same_step_checkpoint(tmp_path, key):
     metrics = cb.manager.manager.metrics(0)
     assert float(metrics["monitor"]) == 0.42
     cb.on_train_end()
+
+
+def test_item_tolerant_restore(tmp_path, key):
+    """restore() only pulls the items present in BOTH template and
+    checkpoint: a run that later enables an optional item (e.g. ema)
+    resumes an older checkpoint instead of discarding it; a fully
+    mismatched template still skips (returns the identical states)."""
+    state = _state(key)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, {"model": state}, monitor=0.1)
+
+    template = _state(jax.random.key(7))
+    ema_tpl = {"params": jax.tree_util.tree_map(jnp.zeros_like,
+                                                template.params)}
+    states = {"model": template, "ema": ema_tpl}
+    restored = mgr.restore(states)
+    assert restored is not states
+    # model restored from disk...
+    for a, b in zip(jax.tree_util.tree_leaves(restored["model"].params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # ...while the absent ema item kept its template identity
+    assert restored["ema"] is ema_tpl
+
+    # round trip WITH the ema item
+    mgr.save(1, {"model": state, "ema": {"params": state.params}})
+    restored2 = mgr.restore({"model": template, "ema": ema_tpl}, step=1)
+    for a, b in zip(jax.tree_util.tree_leaves(restored2["ema"]["params"]),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # zero overlap: skip signal preserved
+    wrong = {"generator": template}
+    assert mgr.restore(wrong, step=0) is wrong
+    mgr.close()

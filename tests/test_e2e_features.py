@@ -89,9 +89,11 @@ def test_cli_accumulation_rejects_indivisible_batch(tmp_path):
 
 
 @pytest.mark.slow
-def test_cli_ema(tmp_path, monkeypatch):
+def test_cli_ema(tmp_path, monkeypatch, capsys):
     """training.segmentation.ema.enabled: validation runs on the EMA
-    weights through the real CLI."""
+    weights through the real CLI, the EMA tree is checkpointed, and
+    --validate_only reproduces the EMA-validated mIoU exactly (it would
+    differ if only the raw params were stored)."""
     from rtsds_tpu import cli
 
     cfg = _config(tmp_path, {"training.segmentation.ema":
@@ -99,6 +101,24 @@ def test_cli_ema(tmp_path, monkeypatch):
     recorder = _recording(monkeypatch)
     cli.main(["--config", cfg, "--synthetic", "--model", "bisenet"])
     _assert_trained(recorder)
+
+    capsys.readouterr()
+    cli.main(["--config", cfg, "--synthetic", "--validate_only"])
+    out = capsys.readouterr().out
+    reported = float(out.split("validation_mIoU = ")[1].split()[0])
+    best = max(logs["validation_mIoU"] for logs, _ in recorder.val_logs)
+    np.testing.assert_allclose(reported, best, atol=1e-6)
+
+    # resume restores the ema item (no 'items absent' fallback printed)
+    cfg2 = _config(tmp_path, {"training.segmentation.ema":
+                              {"enabled": True, "decay": 0.9},
+                              "training.segmentation.epochs": 2})
+    capsys.readouterr()
+    cli.main(["--config", cfg2, "--synthetic", "--model", "bisenet",
+              "--resume"])
+    out = capsys.readouterr().out
+    assert "Resuming from epoch 1" in out
+    assert "items absent" not in out  # the ema item WAS in the checkpoint
 
 
 @pytest.mark.slow
