@@ -61,17 +61,23 @@ class CheckpointManager:
         self.manager.save(step, args=args, metrics=metrics, force=True)
         self.manager.wait_until_finished()
 
+    # items the restore may tolerate missing from an older checkpoint --
+    # everything else (model/generator/discriminator) is load-bearing:
+    # resuming with ANY of those at random init would silently corrupt
+    # the run, so their absence skips the whole restore
+    OPTIONAL_ITEMS = frozenset({"ema"})
+
     def restore(self, states: dict, step: int | None = None) -> dict:
         """Restore into templates shaped like ``states``; returns new states.
 
-        Item-tolerant: only the items present in BOTH the template and the
-        stored checkpoint are restored -- extra template items keep their
-        (fresh) state and extra stored items are ignored.  This lets a run
-        that later enables an optional item (e.g. ``ema``) resume an
-        older checkpoint instead of discarding it.  When NO template item
-        exists in the checkpoint (e.g. a supervised 'model' checkpoint
-        under a DA run's directory) the original ``states`` dict itself is
-        returned, which callers use as the skip signal.
+        Tolerant ONLY for :attr:`OPTIONAL_ITEMS` (e.g. ``ema``): a
+        template that asks for an optional item a pre-EMA checkpoint
+        lacks still restores the core items, keeping the fresh template
+        for the optional one.  If any NON-optional template item is
+        absent from the checkpoint (e.g. a supervised 'model' checkpoint
+        under a DA run's directory) the original ``states`` dict itself
+        is returned, which callers use as the skip signal -- a partially
+        random model must never resume at an advanced epoch.
         """
         if step is None:
             step = self.manager.latest_step()
@@ -81,16 +87,17 @@ class CheckpointManager:
             available = set(self.manager.item_metadata(int(step)).keys())
         except Exception:
             available = set(states)  # old backends: assume full match
-        names = [n for n in states if n in available]
-        if not names:
+        required = set(states) - self.OPTIONAL_ITEMS
+        if not required <= available:
             print(f"checkpoint restore skipped: step {step} holds "
                   f"{sorted(available)}, wanted {sorted(states)}")
             return states
+        names = [n for n in states if n in available]
         missing = sorted(set(states) - set(names))
         if missing:
-            print(f"checkpoint restore: items {missing} absent at step "
-                  f"{step}; restoring {names}, keeping fresh state for "
-                  f"the rest")
+            print(f"checkpoint restore: optional items {missing} absent "
+                  f"at step {step}; restoring {names}, keeping fresh "
+                  f"state for the rest")
         args = self._ocp.args.Composite(**{
             name: self._ocp.args.StandardRestore(_savable(states[name]))
             for name in names})
@@ -267,16 +274,21 @@ class ModelCheckpoint(Callback):
             return False
         try:
             if int(self._epoch) in set(self._manager.all_steps()):
-                # A checkpoint for this step already exists (the post-epoch
-                # save at validation end).  Re-saving would delete it first
-                # (save() must delete-then-save because orbax never
-                # overwrites a step) -- losing the only copy of this epoch
-                # if we are killed mid-rewrite, and destroying its stored
-                # 'monitor' metric (degrading best_step()/--validate_only).
-                # The existing snapshot is a valid post-epoch state; resume
-                # restarts the next epoch from it, so keep it untouched.
-                print(f"Emergency: epoch {self._epoch} already checkpointed;"
-                      f" keeping existing snapshot ({self.save_dir})")
+                # A checkpoint for this step already exists.  Re-saving
+                # would delete it first (save() must delete-then-save
+                # because orbax never overwrites a step) -- losing the
+                # only copy of this epoch if we are killed mid-rewrite,
+                # and destroying its stored 'monitor' metric (degrading
+                # best_step()/--validate_only).  Keep it untouched: if it
+                # is the post-epoch save, resume restarts the next epoch
+                # from it; if it is a PREVIOUS emergency snapshot (its
+                # EMERGENCY marker still present), resume replays this
+                # epoch from it -- either way no progress beyond the
+                # epoch boundary is lost.
+                marker = os.path.exists(self._emergency_marker)
+                print(f"Emergency: epoch {self._epoch} already has a "
+                      f"{'mid-epoch' if marker else 'post-epoch'} snapshot;"
+                      f" keeping it ({self.save_dir})")
                 return True
             self._manager.save(self._epoch, self._get_states())
             # mark this snapshot as MID-epoch: resume() replays the

@@ -157,9 +157,10 @@ def build_callbacks(config, use_wandb: bool, mode_suffix: str = ""):
                                        run_name=wb["run_name"],
                                        config=config._asdict(),
                                        note=wb["note"]))
-    # a section set to null (or {}) in the user YAML disables it -- the
+    # a section set to null in the user YAML disables it -- the
     # deep-merged defaults would otherwise make the default callbacks
-    # impossible to turn off
+    # impossible to turn off.  (An empty mapping {} does NOT disable:
+    # deep-merge refills it with the defaults before it gets here.)
     checkpoint = None
     if cb_cfg.get("model_checkpoint"):
         mc = cb_cfg["model_checkpoint"]
@@ -225,12 +226,14 @@ def _device_batches(loader, transform, mesh, key=None, augment=False,
     return gen()
 
 
-def _build_eval_step(config, apply_fn, image_size, num_classes):
+def _build_eval_step(config, apply_fn, image_size, num_classes,
+                     return_preds: bool = False):
     """Validation-protocol eval step from config ``validation:`` --
     multi-scale+flip ensemble or sliding-window (ours; the reference has
     no eval protocol beyond a plain forward, ``validation.py:45-51``).
     Returns None when neither is enabled (the loops build the default
-    plain eval step)."""
+    plain eval step).  ``return_preds`` must be on when an image-plot
+    callback is listening, exactly like the default eval step."""
     from rtsds_tpu.config import parse_float_list
 
     vcfg = config.get("validation")
@@ -247,7 +250,7 @@ def _build_eval_step(config, apply_fn, image_size, num_classes):
         scales = parse_float_list(ens.get("scales", "0.75, 1.0, 1.25"))
         return make_ensemble_eval_step(
             apply_fn, image_size, num_classes, scales=scales,
-            flip=bool(ens.get("flip", True)))
+            flip=bool(ens.get("flip", True)), return_preds=return_preds)
     if sld_on:
         from rtsds_tpu.eval.sliding import make_sliding_eval_step
 
@@ -256,7 +259,8 @@ def _build_eval_step(config, apply_fn, image_size, num_classes):
         if stride:
             stride = tuple(parse_int_list(stride))
         return make_sliding_eval_step(apply_fn, image_size, num_classes,
-                                      window=window, stride=stride)
+                                      window=window, stride=stride,
+                                      return_preds=return_preds)
     return None
 
 
@@ -386,9 +390,11 @@ def _main(argv=None):
         def val_batches(_epoch):
             return _device_batches(data["cs_val"], data["cs_transform"], mesh)
 
+        plot_cbs = any(hasattr(cb, "add_sample") for cb in callbacks)
         eval_step = _build_eval_step(config, gen_state.apply_fn,
                                      data["cs_size"],
-                                     int(tcfg["num_classes"]))
+                                     int(tcfg["num_classes"]),
+                                     return_preds=plot_cbs)
         ema_cfg = tcfg.get("ema")
         ema_decay = (float(ema_cfg.get("decay", 0.999))
                      if ema_cfg and bool(ema_cfg.get("enabled", False))
@@ -504,8 +510,10 @@ def _main(argv=None):
         ema_decay = (float(ema_cfg.get("decay", 0.999))
                      if ema_cfg and bool(ema_cfg.get("enabled", False))
                      else None)
+        plot_cbs = any(hasattr(cb, "add_sample") for cb in callbacks)
         eval_step = _build_eval_step(config, state.apply_fn, data["cs_size"],
-                                     int(tcfg["num_classes"]))
+                                     int(tcfg["num_classes"]),
+                                     return_preds=plot_cbs)
 
         def train_batches(epoch):
             # fold the epoch into the augmentation key: without this the

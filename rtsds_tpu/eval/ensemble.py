@@ -78,11 +78,14 @@ def make_ensemble_eval_step(apply_fn: Callable, image_size: tuple[int, int],
                             num_classes: int,
                             scales: Sequence[float] = (0.75, 1.0, 1.25),
                             flip: bool = True,
-                            use_pallas: bool | None = None) -> Callable:
+                            use_pallas: bool | None = None,
+                            return_preds: bool = False) -> Callable:
     """Ensemble analog of :func:`rtsds_tpu.eval.validate.make_eval_step`:
-    ``eval_step(variables, images, labels, hist) -> hist``, jitted, with
-    the confusion-matrix update fused into the same program (Pallas MXU
-    histogram auto-selected on TPU, like the plain eval step)."""
+    ``eval_step(variables, images, labels, hist) -> hist`` (or
+    ``(hist, preds)`` with ``return_preds``, for image-plot callbacks),
+    jitted, with the confusion-matrix update fused into the same program
+    (Pallas MXU histogram auto-selected on TPU, like the plain eval
+    step)."""
     from rtsds_tpu.eval.validate import _pallas_hist_available
     from rtsds_tpu.utils.metrics import fast_hist
 
@@ -101,6 +104,9 @@ def make_ensemble_eval_step(apply_fn: Callable, image_size: tuple[int, int],
     @jax.jit
     def eval_step(variables, images, labels, hist):
         preds = predict(variables, images)
-        return hist + hist_update(labels, preds)
+        new_hist = hist + hist_update(labels, preds)
+        if return_preds:
+            return new_hist, preds
+        return new_hist
 
     return eval_step

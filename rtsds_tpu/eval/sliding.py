@@ -86,11 +86,13 @@ def make_sliding_eval_step(apply_fn: Callable, image_size: tuple[int, int],
                            num_classes: int,
                            window: tuple[int, int] = (512, 1024),
                            stride: tuple[int, int] | None = None,
-                           use_pallas: bool | None = None) -> Callable:
+                           use_pallas: bool | None = None,
+                           return_preds: bool = False) -> Callable:
     """Sliding-window analog of ``make_eval_step``:
-    ``eval_step(variables, images, labels, hist) -> hist``, jitted, with
-    the confusion-matrix update fused into the same program (wired from
-    config ``validation.sliding``)."""
+    ``eval_step(variables, images, labels, hist) -> hist`` (or
+    ``(hist, preds)`` with ``return_preds``, for image-plot callbacks),
+    jitted, with the confusion-matrix update fused into the same program
+    (wired from config ``validation.sliding``)."""
     from rtsds_tpu.eval.validate import _pallas_hist_available
     from rtsds_tpu.utils.metrics import fast_hist
 
@@ -109,6 +111,9 @@ def make_sliding_eval_step(apply_fn: Callable, image_size: tuple[int, int],
     @jax.jit
     def eval_step(variables, images, labels, hist):
         preds = predict(variables, images)
-        return hist + hist_update(labels, preds)
+        new_hist = hist + hist_update(labels, preds)
+        if return_preds:
+            return new_hist, preds
+        return new_hist
 
     return eval_step

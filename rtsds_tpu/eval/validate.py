@@ -47,17 +47,25 @@ def _pallas_hist_available() -> bool:
     return _PALLAS_HIST_OK
 
 
-def _host_local(a) -> np.ndarray:
+def _host_local(a) -> np.ndarray | None:
     """Array -> host numpy; for multi-process global arrays (which cannot
     be fetched whole: they span non-addressable devices) returns the
     concatenation of this process's addressable shards -- image-plot
     callbacks then sample the local part of the batch, which is exactly
-    the data this host loaded."""
+    the data this host loaded.
+
+    Returns None when the local shards do not hold WHOLE samples (the
+    array is also sharded along a non-batch axis, e.g. a composed
+    data x spatial mesh): stitching only the batch dimension would
+    silently emit truncated images, so the caller skips plotting instead.
+    """
     try:
         return np.asarray(a)
     except RuntimeError:
         shards = sorted(a.addressable_shards,
                         key=lambda s: (s.index[0].start or 0))
+        if any(s.data.shape[1:] != a.shape[1:] for s in shards):
+            return None  # sample fragments only: cannot reconstruct
         seen = set()
         parts = []
         for s in shards:  # replicated shards repeat an index: keep one
@@ -132,10 +140,16 @@ def validate(state, val_iter: Iterable, num_classes: int,
         result = eval_step(variables, images, labels, hist)
         if isinstance(result, tuple):
             hist, preds = result
-            for cb in plot_cbs:
-                cb.set_epoch(epoch)
-                cb.add_sample(_host_local(images), _host_local(labels),
-                              _host_local(preds))
+            host = [_host_local(x) for x in (images, labels, preds)]
+            if any(h is None for h in host):
+                if batch_idx == 0:
+                    print("image plots skipped: arrays are sharded along "
+                          "non-batch axes across processes (no whole "
+                          "sample is host-local)")
+            else:
+                for cb in plot_cbs:
+                    cb.set_epoch(epoch)
+                    cb.add_sample(*host)
         else:
             hist = result
         # per-batch running-accuracy callbacks (validation.py:57-66) force a

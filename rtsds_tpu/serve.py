@@ -200,11 +200,16 @@ class Predictor:
         return colorize_masks(self.predict(frames))
 
     @classmethod
-    def from_checkpoint(cls, checkpoint_dir: str, **kwargs) -> "Predictor":
+    def from_checkpoint(cls, checkpoint_dir: str, use_ema: bool = True,
+                        **kwargs) -> "Predictor":
         """Restore the latest (or best) checkpoint saved by ModelCheckpoint.
 
         The stored tree is ``{"model": state}`` or ``{"generator": state,
-        ...}``; the segmentation network is 'model' or 'generator'.
+        ...}``; the segmentation network is 'model' or 'generator'.  When
+        the run trained with EMA enabled, the checkpoint carries an
+        ``ema`` item holding the weights the validation mIoU (and so
+        best-step selection) was computed on -- serve THOSE by default;
+        ``use_ema=False`` opts back into the raw training params.
         """
         import orbax.checkpoint as ocp
 
@@ -217,7 +222,14 @@ class Predictor:
         restored = mgr.restore(step)
         mgr.close()
         tree = restored.get("model", restored.get("generator", restored))
-        variables = {"params": tree["params"]}
+        params = tree["params"]
+        # restored is Composite/dict-like; .get covers both
+        ema = restored.get("ema") if hasattr(restored, "get") else None
+        if use_ema and ema:
+            params = ema["params"]
+            print("serve: using the checkpoint's EMA weights "
+                  "(use_ema=False for the raw training params)")
+        variables = {"params": params}
         if "batch_stats" in tree:
             variables["batch_stats"] = tree["batch_stats"]
         return cls(variables=variables, **kwargs)

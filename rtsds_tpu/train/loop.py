@@ -118,8 +118,15 @@ def supervised_fit(state, train_step, make_train_batches: Callable,
 
         if ema_params is None:  # not seeded by a resume: restart from now
             ema_params = ema_init(state.params)
+        else:  # resume-restored trees are host numpy: commit to device so
+            # the donated-buffer update below can reuse them in place
+            ema_params = jax.tree_util.tree_map(jax.numpy.asarray, ema_params)
+        # donate the EMA buffer: the update is elementwise, so XLA
+        # reuses it in place -- no per-step params-sized allocation.  (The
+        # extra dispatch pipelines behind the train step; it never syncs.)
         ema_apply = jax.jit(
-            lambda e, p, s: ema_update(e, p, decay=ema_decay, step=s))
+            lambda e, p, s: ema_update(e, p, decay=ema_decay, step=s),
+            donate_argnums=(0,))
         base_step = train_step
 
         def train_step(st, images, labels):  # noqa: F811 -- EMA wrapper
@@ -198,8 +205,14 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
 
         if ema_params is None:  # not seeded by a resume
             ema_params = ema_init(gen_state.params)
+        else:
+            ema_params = jax.tree_util.tree_map(jax.numpy.asarray, ema_params)
+        # donate the EMA buffer: the update is elementwise, so XLA
+        # reuses it in place -- no per-step params-sized allocation.  (The
+        # extra dispatch pipelines behind the train step; it never syncs.)
         ema_apply = jax.jit(
-            lambda e, p, s: ema_update(e, p, decay=ema_decay, step=s))
+            lambda e, p, s: ema_update(e, p, decay=ema_decay, step=s),
+            donate_argnums=(0,))
     else:
         ema_params = None
 

@@ -124,15 +124,23 @@ def test_cli_ema(tmp_path, monkeypatch, capsys):
 @pytest.mark.slow
 def test_cli_ensemble_validation(tmp_path, monkeypatch, capsys):
     """validation.ensemble: multi-scale+flip eval drives both the
-    training validation pass and --validate_only."""
+    training validation pass and --validate_only -- and image-plot
+    callbacks still receive predictions (the ensemble step supports
+    return_preds like the default eval step)."""
+    import glob
+
     from rtsds_tpu import cli
 
-    cfg = _config(tmp_path, {"validation.ensemble":
-                             {"enabled": True, "scales": "1.0, 2.0",
-                              "flip": True}})
+    cfg = _config(tmp_path, {
+        "validation.ensemble": {"enabled": True, "scales": "1.0, 2.0",
+                                "flip": True},
+        "callbacks.images_plots": {"save_dir": str(tmp_path / "plots"),
+                                   "number_of_samples": 2}})
     recorder = _recording(monkeypatch)
     cli.main(["--config", cfg, "--synthetic", "--model", "bisenet"])
     _assert_trained(recorder)
+    assert glob.glob(str(tmp_path / "plots" / "**" / "*.png"),
+                     recursive=True), "no validation plot images written"
 
     capsys.readouterr()
     cli.main(["--config", cfg, "--synthetic", "--validate_only"])
