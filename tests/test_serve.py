@@ -68,3 +68,40 @@ def test_predictor_colored(rng):
     colored = p.predict_colored(frame)
     assert colored.shape == (16, 32, 3)
     assert colored.dtype == np.uint8
+
+
+def test_predictor_protocols_degenerate_equal_plain(rng):
+    """Serving protocols compile into the predictor: an ensemble of the
+    single identity scale without flip and a sliding window covering the
+    whole frame must both reproduce the plain forward exactly."""
+    from rtsds_tpu.serve import Predictor
+
+    frames = rng.integers(0, 255, size=(2, 32, 64, 3)).astype(np.uint8)
+    plain = Predictor(image_size=(32, 64), batch_size=2, dtype=None)
+    ens = Predictor(image_size=(32, 64), batch_size=2, dtype=None,
+                    variables=plain.variables, protocol="ensemble",
+                    protocol_kwargs={"scales": (1.0,), "flip": False})
+    sld = Predictor(image_size=(32, 64), batch_size=2, dtype=None,
+                    variables=plain.variables, protocol="sliding",
+                    protocol_kwargs={"window": (32, 64)})
+    ref = plain.predict(frames)
+    np.testing.assert_array_equal(ens.predict(frames), ref)
+    np.testing.assert_array_equal(sld.predict(frames), ref)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown serving protocol"):
+        Predictor(image_size=(32, 64), protocol="nope")
+
+
+def test_predictor_ensemble_protocol_multiscale_runs(rng):
+    """A real multi-scale + flip ensemble predictor serves masks."""
+    from rtsds_tpu.serve import Predictor
+
+    p = Predictor(image_size=(32, 64), batch_size=1, dtype=None,
+                  protocol="ensemble",
+                  protocol_kwargs={"scales": (1.0, 2.0), "flip": True})
+    frame = rng.integers(0, 255, size=(32, 64, 3)).astype(np.uint8)
+    mask = p.predict(frame)
+    assert mask.shape == (32, 64)
+    assert mask.max() < 19

@@ -60,3 +60,20 @@ def test_export_with_images_also_predicts(tmp_path):
     assert artifact.exists()
     mask = np.asarray(Image.open(out / "frame_mask.png"))
     assert mask.shape == (32, 64)
+
+
+def test_serve_cli_protocol_flags(tmp_path):
+    """--protocol ensemble/sliding drive the serving protocols from the
+    CLI surface."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    p = tmp_path / "f.png"
+    Image.fromarray(img).save(p)
+    out = tmp_path / "out"
+    serve.main([str(p), "--size", "32, 64", "--out", str(out),
+                "--protocol", "ensemble", "--scales", "1.0, 2.0"])
+    assert np.asarray(Image.open(out / "f_mask.png")).shape == (32, 64)
+    serve.main([str(p), "--size", "32, 64", "--out", str(out),
+                "--protocol", "sliding", "--window", "32, 32",
+                "--stride", "16, 32"])
+    assert np.asarray(Image.open(out / "f_mask.png")).shape == (32, 64)
