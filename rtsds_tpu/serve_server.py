@@ -246,6 +246,13 @@ def main(argv=None):
                         help="compiled micro-batch size")
     parser.add_argument("--max_wait_ms", type=float, default=2.0)
     parser.add_argument("--colored", action="store_true")
+    parser.add_argument("--protocol", default="plain",
+                        choices=["plain", "ensemble", "sliding"],
+                        help="inference protocol (see rtsds_tpu.serve)")
+    parser.add_argument("--scales", default="0.75, 1.0, 1.25",
+                        help='ensemble scales "s1, s2, ..."')
+    parser.add_argument("--window", default="512, 1024",
+                        help='sliding window "H, W"')
     parser.add_argument("--compilation_cache", default=None, metavar="DIR",
                         help="persistent XLA compile cache: restarted "
                              "servers skip the minutes-long first compile")
@@ -266,8 +273,18 @@ def main(argv=None):
         from rtsds_tpu.serve import Predictor
 
         size = tuple(int(v) for v in args.size.replace(" ", "").split(","))
+        protocol_kwargs = {}
+        if args.protocol == "ensemble":
+            from rtsds_tpu.config import parse_float_list
+
+            protocol_kwargs = {"scales": tuple(parse_float_list(args.scales))}
+        elif args.protocol == "sliding":
+            protocol_kwargs = {"window": tuple(
+                int(v) for v in args.window.replace(" ", "").split(","))}
         kwargs = dict(model_name=args.model, image_size=size,
-                      batch_size=args.batch, backbone=args.backbone)
+                      batch_size=args.batch, backbone=args.backbone,
+                      protocol=args.protocol,
+                      protocol_kwargs=protocol_kwargs)
         if args.checkpoint:
             predictor = Predictor.from_checkpoint(args.checkpoint, **kwargs)
         else:

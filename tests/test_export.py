@@ -101,3 +101,22 @@ def test_wrong_size_and_bad_magic(tmp_path, predictor):
     trunc.write_bytes(b"RTSDS1\n\x09")  # valid magic, truncated header
     with pytest.raises(ValueError, match="truncated"):
         load_predictor(str(trunc))
+
+
+def test_export_roundtrip_with_ensemble_protocol(tmp_path):
+    """The serving protocol is baked into predictor._predict, so AOT
+    export of an ensemble predictor carries the whole protocol into the
+    artifact (multi-scale + flip in one StableHLO program)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    predictor = Predictor(model_name="bisenet", image_size=SIZE,
+                          batch_size=2, num_classes=19, dtype=None,
+                          protocol="ensemble",
+                          protocol_kwargs={"scales": (1.0, 2.0),
+                                           "flip": True})
+    path = export_predictor(predictor, str(tmp_path / "ens.rtsds"),
+                            platforms=("cpu",), batch=2)
+    ep = load_predictor(path)
+    frames = _frames(2, seed=3)
+    np.testing.assert_array_equal(ep.predict(frames),
+                                  predictor.predict(frames))
