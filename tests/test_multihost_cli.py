@@ -76,7 +76,7 @@ def test_cli_multihost_two_processes(tmp_path):
             stdout=handles[rank], stderr=subprocess.STDOUT, text=True,
             env=env, cwd=str(tmp_path)))
 
-    deadline = time.monotonic() + 900
+    deadline = time.monotonic() + 1200
     pending = {0: procs[0], 1: procs[1]}
     while pending:
         for rank in list(pending):

@@ -131,7 +131,7 @@ def test_two_process_distributed_input_pipeline(tmp_path):
     # loaded box the compile+barrier can take minutes, but if either rank
     # dies its peer would hang on the collective until the full timeout --
     # fail fast with the dead rank's log instead.
-    deadline = time.monotonic() + 900
+    deadline = time.monotonic() + 1200
     pending = {0: procs[0], 1: procs[1]}
     while pending:
         for rank in list(pending):
