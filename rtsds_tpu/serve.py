@@ -323,6 +323,10 @@ def main(argv=None):
     # pure flag validation BEFORE any expensive model/artifact work
     if args.export and args.artifact:
         parser.error("--export needs a live model, not --artifact")
+    if args.artifact and args.protocol != "plain":
+        parser.error("--protocol is baked into an artifact at export time; "
+                     "export a protocol-enabled predictor instead of "
+                     "passing --protocol with --artifact")
     if not args.images and not args.export:
         parser.error("no input images given")
 
@@ -341,11 +345,11 @@ def main(argv=None):
 
             protocol_kwargs = {"scales": tuple(parse_float_list(args.scales))}
         elif args.protocol == "sliding":
-            protocol_kwargs = {"window": tuple(
-                int(v) for v in args.window.replace(" ", "").split(","))}
+            from rtsds_tpu.config import parse_int_list
+
+            protocol_kwargs = {"window": tuple(parse_int_list(args.window))}
             if args.stride:
-                protocol_kwargs["stride"] = tuple(
-                    int(v) for v in args.stride.replace(" ", "").split(","))
+                protocol_kwargs["stride"] = tuple(parse_int_list(args.stride))
         kwargs = dict(model_name=args.model, image_size=size,
                       batch_size=min(max(len(args.images), 1), 8),
                       num_classes=args.num_classes, backbone=args.backbone,

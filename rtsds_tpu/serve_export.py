@@ -79,6 +79,10 @@ def export_predictor(predictor, path: str,
         "num_classes": getattr(predictor.model, "num_classes", None),
         "model": type(predictor.model).__name__,
         "correct_preprocessing": predictor.correct_preprocessing,
+        # which inference protocol is baked into the program (a ~12x
+        # per-frame cost difference between plain and ensemble -- the
+        # artifact must be distinguishable without timing it)
+        "protocol": getattr(predictor, "protocol", "plain"),
     }
     head = json.dumps(meta).encode()
     with open(path, "wb") as f:

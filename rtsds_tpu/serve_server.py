@@ -253,6 +253,8 @@ def main(argv=None):
                         help='ensemble scales "s1, s2, ..."')
     parser.add_argument("--window", default="512, 1024",
                         help='sliding window "H, W"')
+    parser.add_argument("--stride", default="",
+                        help='sliding stride "H, W" (default 3/4 window)')
     parser.add_argument("--compilation_cache", default=None, metavar="DIR",
                         help="persistent XLA compile cache: restarted "
                              "servers skip the minutes-long first compile")
@@ -279,8 +281,11 @@ def main(argv=None):
 
             protocol_kwargs = {"scales": tuple(parse_float_list(args.scales))}
         elif args.protocol == "sliding":
-            protocol_kwargs = {"window": tuple(
-                int(v) for v in args.window.replace(" ", "").split(","))}
+            from rtsds_tpu.config import parse_int_list
+
+            protocol_kwargs = {"window": tuple(parse_int_list(args.window))}
+            if args.stride:
+                protocol_kwargs["stride"] = tuple(parse_int_list(args.stride))
         kwargs = dict(model_name=args.model, image_size=size,
                       batch_size=args.batch, backbone=args.backbone,
                       protocol=args.protocol,

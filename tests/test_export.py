@@ -107,8 +107,6 @@ def test_export_roundtrip_with_ensemble_protocol(tmp_path):
     """The serving protocol is baked into predictor._predict, so AOT
     export of an ensemble predictor carries the whole protocol into the
     artifact (multi-scale + flip in one StableHLO program)."""
-    import jax.numpy as jnp  # noqa: F401
-
     predictor = Predictor(model_name="bisenet", image_size=SIZE,
                           batch_size=2, num_classes=19, dtype=None,
                           protocol="ensemble",
@@ -120,3 +118,14 @@ def test_export_roundtrip_with_ensemble_protocol(tmp_path):
     frames = _frames(2, seed=3)
     np.testing.assert_array_equal(ep.predict(frames),
                                   predictor.predict(frames))
+
+
+def test_export_meta_records_protocol(tmp_path):
+    predictor = Predictor(model_name="bisenet", image_size=SIZE,
+                          batch_size=2, num_classes=19, dtype=None,
+                          protocol="sliding",
+                          protocol_kwargs={"window": SIZE})
+    path = export_predictor(predictor, str(tmp_path / "s.rtsds"),
+                            platforms=("cpu",), batch=2)
+    ep = load_predictor(path)
+    assert ep.meta["protocol"] == "sliding"
