@@ -86,7 +86,12 @@ class CheckpointManager:
         try:
             available = set(self.manager.item_metadata(int(step)).keys())
         except Exception:
-            available = set(states)  # old backends: assume full match
+            # metadata unavailable (older orbax): assume only the
+            # REQUIRED items exist.  Assuming optional ones too would
+            # make the Composite restore ask for a possibly-nonexistent
+            # item -> KeyError -> the whole restore silently skipped,
+            # the exact failure the optional-item tolerance prevents.
+            available = set(states) - self.OPTIONAL_ITEMS
         required = set(states) - self.OPTIONAL_ITEMS
         if not required <= available:
             print(f"checkpoint restore skipped: step {step} holds "
@@ -170,12 +175,23 @@ class ModelCheckpoint(Callback):
         self.best: float | None = None
         self.best_step: int | None = None
         self._get_states: Callable[[], dict] | None = None
+        self._get_emergency: Callable[[], dict] | None = None
         self._manager: CheckpointManager | None = None
         self._max_to_keep = max_to_keep
         self._epoch = 0
 
-    def attach(self, get_states: Callable[[], dict]):
+    def attach(self, get_states: Callable[[], dict],
+               get_emergency_states: Callable[[], dict] | None = None):
+        """``get_states`` feeds the regular (post-epoch) saves;
+        ``get_emergency_states`` feeds :meth:`save_emergency`.  The loops
+        pass an EPOCH-START snapshot as the emergency provider: the live
+        state's buffers are donated by the first train step of the epoch
+        (saving them raises 'Array has been deleted'), and a mid-epoch
+        snapshot would make the EMERGENCY-marker replay non-deterministic
+        (the replayed epoch would re-train on partially-advanced
+        weights/EMA)."""
         self._get_states = get_states
+        self._get_emergency = get_emergency_states
         if self._manager is None:
             self._manager = CheckpointManager(self.save_dir,
                                               max_to_keep=self._max_to_keep,
@@ -290,7 +306,8 @@ class ModelCheckpoint(Callback):
                       f"{'mid-epoch' if marker else 'post-epoch'} snapshot;"
                       f" keeping it ({self.save_dir})")
                 return True
-            self._manager.save(self._epoch, self._get_states())
+            provider = self._get_emergency or self._get_states
+            self._manager.save(self._epoch, provider())
             # mark this snapshot as MID-epoch: resume() replays the
             # interrupted epoch from its start instead of skipping its
             # untrained remainder

@@ -152,7 +152,12 @@ def build_callbacks(config, use_wandb: bool, mode_suffix: str = ""):
     cb_cfg = config.callbacks
     callbacks = []
     if use_wandb:
-        wb = cb_cfg.get("logging")["wandb"]
+        logging_cfg = cb_cfg.get("logging")
+        wb = logging_cfg.get("wandb") if logging_cfg else None
+        if not wb:
+            raise SystemExit(
+                "--wandb passed but callbacks.logging.wandb is disabled "
+                "(null) or missing in the config")
         callbacks.append(WandBCallback(project_name=wb["project_name"],
                                        run_name=wb["run_name"],
                                        config=config._asdict(),
@@ -224,6 +229,14 @@ def _device_batches(loader, transform, mesh, key=None, augment=False,
                 return
 
     return gen()
+
+
+def _ema_decay_from(tcfg):
+    """training.*.ema config -> decay float, or None when disabled."""
+    ema_cfg = tcfg.get("ema")
+    if ema_cfg and bool(ema_cfg.get("enabled", False)):
+        return float(ema_cfg.get("decay", 0.999))
+    return None
 
 
 def _build_eval_step(config, apply_fn, image_size, num_classes,
@@ -395,10 +408,7 @@ def _main(argv=None):
                                      data["cs_size"],
                                      int(tcfg["num_classes"]),
                                      return_preds=plot_cbs)
-        ema_cfg = tcfg.get("ema")
-        ema_decay = (float(ema_cfg.get("decay", 0.999))
-                     if ema_cfg and bool(ema_cfg.get("enabled", False))
-                     else None)
+        ema_decay = _ema_decay_from(tcfg)
 
         if args.validate_only:
             _run_validation_only(
@@ -506,10 +516,7 @@ def _main(argv=None):
         else:
             train_step = make_train_step(ignore_index=ignore_index)
 
-        ema_cfg = tcfg.get("ema")
-        ema_decay = (float(ema_cfg.get("decay", 0.999))
-                     if ema_cfg and bool(ema_cfg.get("enabled", False))
-                     else None)
+        ema_decay = _ema_decay_from(tcfg)
         plot_cbs = any(hasattr(cb, "add_sample") for cb in callbacks)
         eval_step = _build_eval_step(config, state.apply_fn, data["cs_size"],
                                      int(tcfg["num_classes"]),

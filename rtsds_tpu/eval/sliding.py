@@ -46,6 +46,8 @@ def make_sliding_predict(apply_fn: Callable, image_size: tuple[int, int],
     wh, ww = min(window[0], h), min(window[1], w)
     if stride is None:
         stride = (max(wh * 3 // 4, 1), max(ww * 3 // 4, 1))
+    if stride[0] <= 0 or stride[1] <= 0:
+        raise ValueError(f"stride {stride} must be positive")
     if stride[0] > wh or stride[1] > ww:
         raise ValueError(
             f"stride {stride} exceeds window ({wh}, {ww}): uncovered "

@@ -56,6 +56,23 @@ def batched_mask_predict(call, frames: np.ndarray,
     return masks[0] if single else masks
 
 
+def protocol_kwargs_from_flags(protocol: str, scales: str = "0.75, 1.0, 1.25",
+                               window: str = "512, 1024",
+                               stride: str = "") -> dict:
+    """CLI flag strings -> :class:`Predictor` ``protocol_kwargs`` (shared
+    by the serve CLI and the HTTP server so the parsing exists once)."""
+    from rtsds_tpu.config import parse_float_list, parse_int_list
+
+    if protocol == "ensemble":
+        return {"scales": tuple(parse_float_list(scales))}
+    if protocol == "sliding":
+        kwargs = {"window": tuple(parse_int_list(window))}
+        if stride:
+            kwargs["stride"] = tuple(parse_int_list(stride))
+        return kwargs
+    return {}
+
+
 def colorize_masks(masks: np.ndarray) -> np.ndarray:
     """(..., H, W) trainId masks -> colorized (..., H, W, 3) uint8."""
     if masks.ndim == 2:
@@ -339,17 +356,8 @@ def main(argv=None):
         predictor = load_predictor(args.artifact)
         size = predictor.image_size
     else:
-        protocol_kwargs = {}
-        if args.protocol == "ensemble":
-            from rtsds_tpu.config import parse_float_list
-
-            protocol_kwargs = {"scales": tuple(parse_float_list(args.scales))}
-        elif args.protocol == "sliding":
-            from rtsds_tpu.config import parse_int_list
-
-            protocol_kwargs = {"window": tuple(parse_int_list(args.window))}
-            if args.stride:
-                protocol_kwargs["stride"] = tuple(parse_int_list(args.stride))
+        protocol_kwargs = protocol_kwargs_from_flags(
+            args.protocol, args.scales, args.window, args.stride)
         kwargs = dict(model_name=args.model, image_size=size,
                       batch_size=min(max(len(args.images), 1), 8),
                       num_classes=args.num_classes, backbone=args.backbone,

@@ -275,17 +275,10 @@ def main(argv=None):
         from rtsds_tpu.serve import Predictor
 
         size = tuple(int(v) for v in args.size.replace(" ", "").split(","))
-        protocol_kwargs = {}
-        if args.protocol == "ensemble":
-            from rtsds_tpu.config import parse_float_list
+        from rtsds_tpu.serve import protocol_kwargs_from_flags
 
-            protocol_kwargs = {"scales": tuple(parse_float_list(args.scales))}
-        elif args.protocol == "sliding":
-            from rtsds_tpu.config import parse_int_list
-
-            protocol_kwargs = {"window": tuple(parse_int_list(args.window))}
-            if args.stride:
-                protocol_kwargs["stride"] = tuple(parse_int_list(args.stride))
+        protocol_kwargs = protocol_kwargs_from_flags(
+            args.protocol, args.scales, args.window, args.stride)
         kwargs = dict(model_name=args.model, image_size=size,
                       batch_size=args.batch, backbone=args.backbone,
                       protocol=args.protocol,

@@ -32,6 +32,27 @@ def ema_init(params):
     return jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), params)
 
 
+def setup_ema(params, decay: float, seed=None):
+    """One-stop EMA wiring for the training loops.
+
+    Returns ``(ema_params, ema_apply)`` where ``ema_apply(ema, params,
+    step)`` is the jitted warmup-decay update with the EMA buffer
+    DONATED (elementwise update reuses it in place; the dispatch
+    pipelines behind the train step -- measured +0.3% on the b8
+    720x1280 step).  ``seed`` (e.g. a resume-restored tree, possibly
+    host numpy) initializes the average; it is committed to device so
+    donation works; otherwise the average starts at ``params``.
+    """
+    if seed is None:
+        ema_params = ema_init(params)
+    else:
+        ema_params = jax.tree_util.tree_map(jnp.asarray, seed)
+    ema_apply = jax.jit(
+        lambda e, p, s: ema_update(e, p, decay=decay, step=s),
+        donate_argnums=(0,))
+    return ema_params, ema_apply
+
+
 def ema_update(ema_params, params, decay: float = 0.999, step=None):
     """One EMA step: ``e <- d*e + (1-d)*p`` with optional warmup decay."""
     d = jnp.asarray(decay, jnp.float32)

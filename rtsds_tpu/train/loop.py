@@ -29,6 +29,18 @@ def _fan_out(callbacks, method: str, *args, **kwargs):
         getattr(cb, method)(*args, **kwargs)
 
 
+def _copy_tree(tree):
+    """Donation-proof device copy of a state pytree (one extra state of
+    HBM while an epoch runs -- the price of a crash-consistent
+    epoch-start snapshot)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda a: jnp.array(a, copy=True) if hasattr(a, "shape") else a,
+        tree)
+
+
 def train_epoch(state, train_step, batches: Iterable, epoch: int,
                 callbacks=None, log_every: int = 1):
     """One supervised epoch (``train.py:24-128``).
@@ -95,9 +107,16 @@ def supervised_fit(state, train_step, make_train_batches: Callable,
     from the current params.
     """
     callbacks = callbacks or []
+    # checkpoint providers must read the LIVE state: ``on_epoch_end``
+    # fires inside train_epoch, where this function's ``state`` local is
+    # still the epoch-START object -- whose buffers the epoch's first
+    # step already donated (saving them raises 'Array has been
+    # deleted').  The step wrapper below publishes each step's output
+    # here; ``ema_params`` is already live via its nonlocal rebinding.
+    live = {"state": state}
 
     def _states():
-        out = {"model": state}
+        out = {"model": live["state"]}
         if ema_params is not None:
             out["ema"] = {"params": ema_params}
         return out
@@ -112,21 +131,10 @@ def supervised_fit(state, train_step, make_train_batches: Callable,
         eval_step = make_eval_step(state.apply_fn, num_classes,
                                    return_preds=plot_cbs)
     if ema_decay is not None:
-        import jax
+        from rtsds_tpu.train.ema import setup_ema
 
-        from rtsds_tpu.train.ema import ema_init, ema_update
-
-        if ema_params is None:  # not seeded by a resume: restart from now
-            ema_params = ema_init(state.params)
-        else:  # resume-restored trees are host numpy: commit to device so
-            # the donated-buffer update below can reuse them in place
-            ema_params = jax.tree_util.tree_map(jax.numpy.asarray, ema_params)
-        # donate the EMA buffer: the update is elementwise, so XLA
-        # reuses it in place -- no per-step params-sized allocation.  (The
-        # extra dispatch pipelines behind the train step; it never syncs.)
-        ema_apply = jax.jit(
-            lambda e, p, s: ema_update(e, p, decay=ema_decay, step=s),
-            donate_argnums=(0,))
+        ema_params, ema_apply = setup_ema(state.params, ema_decay,
+                                          seed=ema_params)
         base_step = train_step
 
         def train_step(st, images, labels):  # noqa: F811 -- EMA wrapper
@@ -138,11 +146,26 @@ def supervised_fit(state, train_step, make_train_batches: Callable,
     else:
         ema_params = None  # stray ema state without a decay is ignored
 
+    stepped = train_step
+
+    def train_step(st, images, labels):  # noqa: F811 -- live-state tracking
+        new_state, metrics = stepped(st, images, labels)
+        live["state"] = new_state
+        return new_state, metrics
+
     history = []
     try:
         for epoch in range(start_epoch, epochs):
             if checkpoint is not None:
-                checkpoint.attach(_states)
+                # EPOCH-START device copies feed the emergency path: the
+                # live state's buffers are donated by this epoch's first
+                # step (saving them raises 'Array has been deleted'), and
+                # only an epoch-start snapshot makes the EMERGENCY-marker
+                # replay reproduce the uninterrupted run exactly (a
+                # mid-epoch snapshot would re-train consumed batches and
+                # double-apply EMA updates)
+                snap = _copy_tree(_states())
+                checkpoint.attach(_states, lambda snap=snap: snap)
                 checkpoint._epoch = epoch
             state, train_logs = train_epoch(state, train_step,
                                             make_train_batches(epoch), epoch,
@@ -199,20 +222,10 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
     loss_keys = ["loss_gen_source", "loss_adversarial",
                  "loss_disc_source", "loss_disc_target"]
     if ema_decay is not None:
-        import jax
+        from rtsds_tpu.train.ema import setup_ema
 
-        from rtsds_tpu.train.ema import ema_init, ema_update
-
-        if ema_params is None:  # not seeded by a resume
-            ema_params = ema_init(gen_state.params)
-        else:
-            ema_params = jax.tree_util.tree_map(jax.numpy.asarray, ema_params)
-        # donate the EMA buffer: the update is elementwise, so XLA
-        # reuses it in place -- no per-step params-sized allocation.  (The
-        # extra dispatch pipelines behind the train step; it never syncs.)
-        ema_apply = jax.jit(
-            lambda e, p, s: ema_update(e, p, decay=ema_decay, step=s),
-            donate_argnums=(0,))
+        ema_params, ema_apply = setup_ema(gen_state.params, ema_decay,
+                                          seed=ema_params)
     else:
         ema_params = None
 
@@ -228,8 +241,15 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
         for epoch in range(start_epoch, epochs):
             _fan_out(callbacks, "on_train_begin")
             if checkpoint is not None:
+                # EPOCH-START copies for the emergency path: G/D are
+                # rebound (and donated) every iteration, so a mid-epoch
+                # snapshot would both hit deleted buffers and make the
+                # marker-driven replay re-train already-consumed
+                # iterations (optimizer step counter and poly-LR would
+                # double-advance); replay from the epoch start is exact
+                snap = _copy_tree(_states())
                 checkpoint._epoch = epoch
-                checkpoint.attach(_states)
+                checkpoint.attach(_states, lambda snap=snap: snap)
             running = {k: 0.0 for k in loss_keys}
             correct = 0
             total = 0

@@ -35,7 +35,7 @@ def test_sigterm_checkpoints_and_raises(tmp_path):
     y = jnp.asarray(rng.integers(0, 5, size=(2, 8, 12)), jnp.int32)
     state = create_train_state(_Tiny(), jax.random.key(0), x,
                                make_optimizer("Adam", 1e-3))
-    step = make_train_step(ignore_index=None, donate=False)
+    step = make_train_step(ignore_index=None, donate=True)  # real CLI config
 
     def train_batches(epoch):
         def gen():
@@ -57,7 +57,10 @@ def test_sigterm_checkpoints_and_raises(tmp_path):
         restore_handlers(previous)
 
     restored, start_epoch = ckpt.resume({"model": state})
-    assert int(restored["model"].step) >= 2  # epoch 0 + part of epoch 1
+    # the emergency snapshot is the EPOCH-START state of the interrupted
+    # epoch (donation-proof and replay-deterministic): after epoch 0's 2
+    # batches, step == 2
+    assert int(restored["model"].step) == 2
     # the emergency snapshot is marked mid-epoch: the interrupted epoch 1
     # REPLAYS from its start rather than being skipped half-trained
     assert start_epoch == 1
