@@ -391,14 +391,39 @@ def _main(argv=None):
             dis_key, jnp.zeros((cs_bs, *data["cs_size"],
                                 tcfg["num_classes"]))), mesh)
 
-        from rtsds_tpu.train.adversarial import make_adversarial_step
+        ema_decay = _ema_decay_from(tcfg)
+        st_cfg = tcfg.get("self_training")
+        self_training = bool(st_cfg and st_cfg.get("enabled", False))
+        ignore_index = config.model["bisenet"]["criterion"].get(
+            "ignore_index")
+        if self_training:
+            # pseudo-label DA: mean-teacher EMA + v1 adversarial losses in
+            # one fused step (train/self_training.py)
+            if str(tcfg.get("variant", "v1")) != "v1":
+                raise SystemExit("self_training composes with the v1 "
+                                 "adversarial step only; set variant: v1")
+            if ema_decay is None:
+                raise SystemExit(
+                    "self_training needs the mean-teacher: enable "
+                    "training.domain_adaptation.ema (enabled: true)")
+            from rtsds_tpu.train.self_training import make_self_training_step
 
-        da_step = make_adversarial_step(
-            lambda_=float(tcfg["lambda"]), iterations=int(tcfg["iterations"]),
-            epochs=int(tcfg["epochs"]),
-            ignore_index=config.model["bisenet"]["criterion"].get(
-                "ignore_index"),
-            variant=str(tcfg.get("variant", "v1")))
+            da_step = make_self_training_step(
+                lambda_=float(tcfg["lambda"]),
+                iterations=int(tcfg["iterations"]),
+                ignore_index=19 if ignore_index is None else ignore_index,
+                threshold=float(st_cfg.get("threshold", 0.9)),
+                lambda_pl=float(st_cfg.get("lambda_pl", 1.0)),
+                ema_decay=ema_decay)
+        else:
+            from rtsds_tpu.train.adversarial import make_adversarial_step
+
+            da_step = make_adversarial_step(
+                lambda_=float(tcfg["lambda"]),
+                iterations=int(tcfg["iterations"]),
+                epochs=int(tcfg["epochs"]),
+                ignore_index=ignore_index,
+                variant=str(tcfg.get("variant", "v1")))
 
         def val_batches(_epoch):
             return _device_batches(data["cs_val"], data["cs_transform"], mesh)
@@ -408,7 +433,6 @@ def _main(argv=None):
                                      data["cs_size"],
                                      int(tcfg["num_classes"]),
                                      return_preds=plot_cbs)
-        ema_decay = _ema_decay_from(tcfg)
 
         if args.validate_only:
             _run_validation_only(
@@ -460,7 +484,8 @@ def _main(argv=None):
                 checkpoint=checkpoint,
                 when_print=int(tcfg.get("when_print", -1)),
                 start_epoch=start_epoch, eval_step=eval_step,
-                ema_decay=ema_decay, ema_params=resumed_ema)
+                ema_decay=ema_decay, ema_params=resumed_ema,
+                ema_in_step=self_training)
         except Preempted as e:
             if checkpoint is not None:
                 print(f"Preempted ({e}); exiting -- restart with --resume "

@@ -198,7 +198,8 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
                     do_validation: int = 1, checkpoint=None,
                     variant: str = "v1", when_print: int = -1,
                     start_epoch: int = 0, eval_step=None,
-                    ema_decay: float | None = None, ema_params=None):
+                    ema_decay: float | None = None, ema_params=None,
+                    ema_in_step: bool = False):
     """Adversarial DA loop (``train.py:130-319`` / ``:322-500``).
 
     ``source_iter`` / ``target_iter`` are infinite device-batch iterators
@@ -210,6 +211,12 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
     validates on it and checkpoints it as an ``ema`` item (so
     ``--validate_only``/serving reproduce the reported mIoU);
     ``ema_params`` (from a resume) seeds it.
+
+    ``ema_in_step``: the step updates the teacher ITSELF (self-training
+    steps, ``train/self_training.py``) and takes/returns it —
+    ``step(g, d, ema, src, lbl, tgt) -> (g, d, ema, metrics)``; the loop
+    only seeds, checkpoints and validates on it (``ema_decay`` is baked
+    into the step and ignored here).
     """
     callbacks = callbacks or []
     if checkpoint is not None:
@@ -219,9 +226,21 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
     if eval_step is None:
         eval_step = make_eval_step(gen_state.apply_fn, num_classes,
                                    return_preds=plot_cbs)
-    loss_keys = ["loss_gen_source", "loss_adversarial",
-                 "loss_disc_source", "loss_disc_target"]
-    if ema_decay is not None:
+    loss_keys = ["loss_gen_source", "loss_adversarial", "loss_pseudo",
+                 "pl_coverage", "loss_disc_source", "loss_disc_target"]
+    ema_apply = None
+    if ema_in_step:
+        # the fused step owns the teacher update; seed/commit only (a
+        # resume-restored tree is host numpy -- commit to device so the
+        # step's donation can reuse the buffers in place)
+        import jax
+
+        from rtsds_tpu.train.ema import ema_init
+
+        ema_params = (ema_init(gen_state.params) if ema_params is None
+                      else jax.tree_util.tree_map(jax.numpy.asarray,
+                                                  ema_params))
+    elif ema_decay is not None:
         from rtsds_tpu.train.ema import setup_ema
 
         ema_params, ema_apply = setup_ema(gen_state.params, ema_decay,
@@ -277,11 +296,17 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
             for i in range(iterations):
                 src_images, src_labels = next(source_iter)
                 tgt_images, _ = next(target_iter)
-                gen_state, dis_state, metrics = da_step(
-                    gen_state, dis_state, src_images, src_labels, tgt_images)
-                if ema_params is not None:
-                    ema_params = ema_apply(ema_params, gen_state.params,
-                                           gen_state.step)
+                if ema_in_step:
+                    gen_state, dis_state, ema_params, metrics = da_step(
+                        gen_state, dis_state, ema_params,
+                        src_images, src_labels, tgt_images)
+                else:
+                    gen_state, dis_state, metrics = da_step(
+                        gen_state, dis_state, src_images, src_labels,
+                        tgt_images)
+                    if ema_params is not None:
+                        ema_params = ema_apply(ema_params, gen_state.params,
+                                               gen_state.step)
                 if pending is not None:
                     consume(pending)
                 pending = (i, metrics)
@@ -289,7 +314,10 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
                 consume(pending)
 
             dt = time.perf_counter() - t0
-            summary = {k: running[k] / iterations for k in loss_keys}
+            # only keys the step actually produced (self-training adds
+            # loss_pseudo/pl_coverage; plain v1/v2 must not print zeros)
+            summary = {k: running[k] / iterations for k in loss_keys
+                       if k in metrics}
             summary["Generator Accuracy"] = 100.0 * correct / max(total, 1)
             summary["steps_per_sec"] = iterations / dt
             print(f"Epoch Results {epoch}")
