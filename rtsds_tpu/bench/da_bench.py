@@ -9,7 +9,8 @@ Timing uses the same chained-dependency pattern as the latency harness:
 steps are chained through the evolving train states inside a scan, fenced
 by a host fetch, so async dispatch cannot fake the rate.
 
-Run: ``python -m rtsds_tpu.bench.da_bench`` (env: DA_BATCH, DA_STEPS).
+Run: ``python -m rtsds_tpu.bench.da_bench`` (env: DA_BATCH, DA_STEPS,
+DA_SELF_TRAINING=1 to bench the fused pseudo-label step instead).
 """
 
 from __future__ import annotations
@@ -31,7 +32,10 @@ TARGET_MULTIPLE = 5.0
 
 def da_step_benchmark(batch_size: int = 4, src_hw=(720, 1280),
                       tgt_hw=(512, 1024), steps: int = 5, repeats: int = 3,
-                      dtype=jnp.bfloat16) -> dict:
+                      dtype=jnp.bfloat16, self_training: bool = False) -> dict:
+    """``self_training=True`` benches the fused pseudo-label step
+    (``train/self_training.py``: +1 teacher forward at target resolution,
+    +1 thresholded CE, +1 EMA tree update vs the plain v1 step)."""
     from rtsds_tpu.models.bisenet import BiSeNet
     from rtsds_tpu.models.discriminator import TinyDomainDiscriminator
     from rtsds_tpu.train.adversarial import make_adversarial_step
@@ -55,24 +59,43 @@ def da_step_benchmark(batch_size: int = 4, src_hw=(720, 1280),
     src_labels = jnp.zeros((batch_size, *src_hw), jnp.int32)
     tgt_images = jax.random.normal(kx, (batch_size, *tgt_hw, 3), jnp.float32)
 
-    step = make_adversarial_step(lambda_=0.1, iterations=100, epochs=50,
-                                 variant="v1", donate=False)
+    if self_training:
+        from rtsds_tpu.train.ema import ema_init
+        from rtsds_tpu.train.self_training import make_self_training_step
 
-    def run_n(gen_state, dis_state, n: int):
+        st_step = make_self_training_step(lambda_=0.1, iterations=100,
+                                          threshold=0.9, donate=False)
+        ema = ema_init(gen_state.params)
+
+        def step(gen_state, dis_state, ema, *batch):
+            g, d, e, metrics = st_step(gen_state, dis_state, ema, *batch)
+            return g, d, e, metrics
+    else:
+        v1_step = make_adversarial_step(lambda_=0.1, iterations=100,
+                                        epochs=50, variant="v1",
+                                        donate=False)
+        ema = None
+
+        def step(gen_state, dis_state, ema, *batch):
+            g, d, metrics = v1_step(gen_state, dis_state, *batch)
+            return g, d, ema, metrics
+
+    def run_n(gen_state, dis_state, ema, n: int):
         for _ in range(n):
-            gen_state, dis_state, metrics = step(gen_state, dis_state,
-                                                 src_images, src_labels,
-                                                 tgt_images)
-        return gen_state, dis_state, metrics
+            gen_state, dis_state, ema, metrics = step(
+                gen_state, dis_state, ema, src_images, src_labels,
+                tgt_images)
+        return gen_state, dis_state, ema, metrics
 
     # warmup / compile
-    gen_state, dis_state, metrics = run_n(gen_state, dis_state, 1)
+    gen_state, dis_state, ema, metrics = run_n(gen_state, dis_state, ema, 1)
     float(metrics["loss_gen_source"])  # fence
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        gen_state, dis_state, metrics = run_n(gen_state, dis_state, steps)
+        gen_state, dis_state, ema, metrics = run_n(gen_state, dis_state,
+                                                   ema, steps)
         float(metrics["loss_gen_source"])  # state chain + fetch = hard fence
         times.append((time.perf_counter() - t0) / steps)
 
@@ -84,16 +107,20 @@ def da_step_benchmark(batch_size: int = 4, src_hw=(720, 1280),
         "src_hw": list(src_hw),
         "tgt_hw": list(tgt_hw),
         "dtype": str(getattr(dtype, "__name__", dtype)),
+        "self_training": self_training,
     }
 
 
 def main():
     batch = int(os.environ.get("DA_BATCH", "4"))
     steps = int(os.environ.get("DA_STEPS", "5"))
-    stats = da_step_benchmark(batch_size=batch, steps=steps)
+    self_training = os.environ.get("DA_SELF_TRAINING", "0") == "1"
+    stats = da_step_benchmark(batch_size=batch, steps=steps,
+                              self_training=self_training)
     sps = stats["steps_per_sec"]
     print(json.dumps({
-        "metric": "da_train_steps_per_sec",
+        "metric": ("da_self_training_steps_per_sec" if self_training
+                   else "da_train_steps_per_sec"),
         "value": round(sps, 3),
         "unit": "steps/sec",
         # single chip vs the derived single-A100 reference rate

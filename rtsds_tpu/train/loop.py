@@ -273,6 +273,7 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
             correct = 0
             total = 0
             pending = None
+            metrics = {}  # summary key filter needs it bound if iterations==0
             t0 = time.perf_counter()
 
             def consume(item):
