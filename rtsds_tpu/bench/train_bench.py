@@ -11,7 +11,8 @@ the whole sequence, so async dispatch (and the axon backend's unreliable
 ``block_until_ready``) cannot fake the rate.
 
 Run: ``python -m rtsds_tpu.bench.train_bench`` (env: TRAIN_MODEL,
-TRAIN_BATCH, TRAIN_SIZE "H,W", TRAIN_STEPS).
+TRAIN_BATCH, TRAIN_SIZE "H,W", TRAIN_STEPS, TRAIN_BACKBONE
+resnet18|resnet101 for the bisenet context path).
 """
 
 from __future__ import annotations
@@ -29,7 +30,8 @@ def supervised_step_benchmark(model_name: str = "bisenet",
                               image_size=(720, 1280),
                               num_classes: int = 19,
                               steps: int = 5, repeats: int = 3,
-                              dtype=jnp.bfloat16) -> dict:
+                              dtype=jnp.bfloat16,
+                              backbone: str = "resnet18") -> dict:
     from rtsds_tpu.train.optim import make_optimizer
     from rtsds_tpu.train.state import create_train_state
     from rtsds_tpu.train.supervised import make_train_step
@@ -42,7 +44,7 @@ def supervised_step_benchmark(model_name: str = "bisenet",
     elif model_name == "bisenet":
         from rtsds_tpu.models.bisenet import BiSeNet
 
-        model = BiSeNet(num_classes=num_classes, context_path="resnet18",
+        model = BiSeNet(num_classes=num_classes, context_path=backbone,
                         dtype=dtype)
     else:
         raise ValueError(f"unknown model {model_name!r}")
@@ -72,6 +74,7 @@ def supervised_step_benchmark(model_name: str = "bisenet",
     best = min(times)
     return {
         "model": model_name,
+        "backbone": backbone,
         "steps_per_sec": 1.0 / best,
         "ms_per_step": best * 1000.0,
         "ms_per_sample": best * 1000.0 / batch_size,
@@ -87,8 +90,10 @@ def main():
     size = tuple(int(v) for v in
                  os.environ.get("TRAIN_SIZE", "720,1280").split(","))
     steps = int(os.environ.get("TRAIN_STEPS", "5"))
+    backbone = os.environ.get("TRAIN_BACKBONE", "resnet18")
     stats = supervised_step_benchmark(model, batch_size=batch,
-                                      image_size=size, steps=steps)
+                                      image_size=size, steps=steps,
+                                      backbone=backbone)
     print(json.dumps({"metric": f"{model}_supervised_train_step",
                       "value": round(stats["ms_per_step"], 2),
                       "unit": "ms/step", **stats}))

@@ -408,11 +408,23 @@ def _main(argv=None):
                     "training.domain_adaptation.ema (enabled: true)")
             from rtsds_tpu.train.self_training import make_self_training_step
 
+            # threshold: scalar, or a per-class comma list (CBST-style)
+            thr = st_cfg.get("threshold", 0.9)
+            if isinstance(thr, str) and "," in thr:
+                from rtsds_tpu.config import parse_float_list
+
+                thr = parse_float_list(thr)
+                if len(thr) != int(tcfg["num_classes"]):
+                    raise SystemExit(
+                        f"self_training.threshold lists one value per "
+                        f"class ({tcfg['num_classes']}), got {len(thr)}")
+            else:
+                thr = float(thr)
             da_step = make_self_training_step(
                 lambda_=float(tcfg["lambda"]),
                 iterations=int(tcfg["iterations"]),
                 ignore_index=19 if ignore_index is None else ignore_index,
-                threshold=float(st_cfg.get("threshold", 0.9)),
+                threshold=thr,
                 lambda_pl=float(st_cfg.get("lambda_pl", 1.0)),
                 ema_decay=ema_decay)
         else:

@@ -32,8 +32,14 @@ from rtsds_tpu.train.ema import ema_update
 from rtsds_tpu.utils.dtypes import at_least_f32
 
 
-def pseudo_labels(logits, threshold: float, ignore_index: int = 19):
+def pseudo_labels(logits, threshold, ignore_index: int = 19):
     """Confidence-thresholded argmax labels from teacher logits.
+
+    ``threshold`` is a scalar, or a (num_classes,) vector of PER-CLASS
+    confidence thresholds (CBST-style class balancing, Zou et al.
+    ECCV'18: rare classes get lower bars so the pseudo-label set is not
+    dominated by easy classes) — each pixel is gated by the threshold of
+    its argmax class.
 
     Returns ``(labels, coverage)``: ``labels`` is (N, H, W) int32 with
     sub-threshold pixels mapped to ``ignore_index``; ``coverage`` is the
@@ -42,14 +48,21 @@ def pseudo_labels(logits, threshold: float, ignore_index: int = 19):
     probs = jax.nn.softmax(at_least_f32(logits), axis=-1)
     conf = jnp.max(probs, axis=-1)
     labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-    keep = conf >= jnp.asarray(threshold, conf.dtype)
+    thr = jnp.asarray(threshold, conf.dtype)
+    if thr.ndim == 1:
+        # one-hot dot instead of a gather: the argmax class's threshold,
+        # dense and fusion-friendly (same trick as the one-hot CE)
+        classes = jnp.arange(probs.shape[-1], dtype=jnp.int32)
+        thr = jnp.sum(jnp.where(labels[..., None] == classes, thr, 0.0),
+                      axis=-1)
+    keep = conf >= thr
     labels = jnp.where(keep, labels, jnp.asarray(ignore_index, jnp.int32))
     return labels, jnp.mean(keep.astype(jnp.float32))
 
 
 def make_self_training_step(lambda_: float, iterations: int,
                             ignore_index: int = 19, *,
-                            threshold: float = 0.9, lambda_pl: float = 1.0,
+                            threshold=0.9, lambda_pl: float = 1.0,
                             ema_decay: float = 0.999, donate: bool = True):
     """Build the fused v1-adversarial + pseudo-label + mean-teacher step.
 
@@ -61,7 +74,8 @@ def make_self_training_step(lambda_: float, iterations: int,
     v1 loss conventions are preserved (every loss scaled by
     ``1/iterations`` before the update, ``train.py:211,232``); the
     pseudo-label CE uses the same main+aux ``segmentation_loss`` as the
-    source CE so aux heads learn from the teacher too.
+    source CE so aux heads learn from the teacher too.  ``threshold``
+    may be a scalar or a per-class vector (see :func:`pseudo_labels`).
     """
     if ignore_index is None:
         raise ValueError("self-training needs an ignore_index to mask "

@@ -51,6 +51,33 @@ def test_pseudo_labels_threshold_and_coverage():
     assert float(coverage) == 0.0
 
 
+def test_pseudo_labels_per_class_thresholds():
+    """CBST-style per-class bars: each pixel gated by its argmax class's
+    threshold."""
+    logits = jnp.array([[[[0.0, 0.0, 6.0, 0.0],     # class 2, conf ~0.993
+                          [6.0, 0.0, 0.0, 0.0]]]])  # class 0, conf ~0.993
+    thr = jnp.array([0.999, 0.5, 0.5, 0.5])  # class 0 gets a higher bar
+    labels, coverage = pseudo_labels(logits, thr, ignore_index=7)
+    assert int(labels[0, 0, 0]) == 2      # 0.993 >= 0.5 -> kept
+    assert int(labels[0, 0, 1]) == 7      # 0.993 < 0.999 -> ignored
+    np.testing.assert_allclose(float(coverage), 0.5)
+    # scalar threshold keeps both
+    labels, _ = pseudo_labels(logits, 0.5, ignore_index=7)
+    assert int(labels[0, 0, 0]) == 2 and int(labels[0, 0, 1]) == 0
+
+
+def test_step_accepts_per_class_threshold_vector(key, rng):
+    src, lbl, tgt = _da_batch(rng)
+    gen_state, dis_state, ema, _ = _st_setup(key)
+    from rtsds_tpu.train.self_training import make_self_training_step
+
+    step = make_self_training_step(
+        lambda_=0.1, iterations=4, threshold=jnp.full((19,), 0.0),
+        donate=False)
+    _, _, _, metrics = step(gen_state, dis_state, ema, src, lbl, tgt)
+    np.testing.assert_allclose(float(metrics["pl_coverage"]), 1.0)
+
+
 def test_zero_coverage_equals_plain_v1(key, rng):
     """threshold > 1 masks every pixel, so the pseudo-label CE is exactly
     zero and the G/D updates must be BIT-IDENTICAL to the plain v1 step
@@ -199,6 +226,16 @@ def test_cli_self_training_requires_ema(tmp_path):
     cfg = _st_config(tmp_path, {
         "training.domain_adaptation.ema": {"enabled": False}})
     with pytest.raises(SystemExit, match="mean-teacher"):
+        cli.main(["--config", cfg, "--synthetic", "--domain_adaptation"])
+
+
+def test_cli_per_class_threshold_count_validated(tmp_path):
+    from rtsds_tpu import cli
+
+    cfg = _st_config(tmp_path, {
+        "training.domain_adaptation.self_training": {
+            "enabled": True, "threshold": "0.9, 0.8"}})  # 19 expected
+    with pytest.raises(SystemExit, match="one value per"):
         cli.main(["--config", cfg, "--synthetic", "--domain_adaptation"])
 
 
