@@ -396,9 +396,13 @@ def _main(argv=None):
         self_training = bool(st_cfg and st_cfg.get("enabled", False))
         ignore_index = config.model["bisenet"]["criterion"].get(
             "ignore_index")
+        st_threshold = None
+        st_calibration = None
         if self_training:
             # pseudo-label DA: mean-teacher EMA + v1 adversarial losses in
-            # one fused step (train/self_training.py)
+            # one fused step (train/self_training.py).  The step itself is
+            # built AFTER resume, so threshold calibration can use the
+            # restored teacher.
             if str(tcfg.get("variant", "v1")) != "v1":
                 raise SystemExit("self_training composes with the v1 "
                                  "adversarial step only; set variant: v1")
@@ -406,36 +410,28 @@ def _main(argv=None):
                 raise SystemExit(
                     "self_training needs the mean-teacher: enable "
                     "training.domain_adaptation.ema (enabled: true)")
-            from rtsds_tpu.train.self_training import make_self_training_step
-
-            # threshold: scalar, or a per-class comma list (CBST-style)
-            thr = st_cfg.get("threshold", 0.9)
-            if isinstance(thr, str) and "," in thr:
-                from rtsds_tpu.config import parse_float_list
-
-                thr = parse_float_list(thr)
-                if len(thr) != int(tcfg["num_classes"]):
-                    raise SystemExit(
-                        f"self_training.threshold lists one value per "
-                        f"class ({tcfg['num_classes']}), got {len(thr)}")
+            cal_cfg = st_cfg.get("calibration")
+            if cal_cfg and bool(cal_cfg.get("enabled", False)):
+                # CBST quantile calibration over target batches replaces
+                # the fixed threshold
+                st_calibration = {
+                    "portion": float(cal_cfg.get("portion", 0.5)),
+                    "batches": int(cal_cfg.get("batches", 8)),
+                }
             else:
-                thr = float(thr)
-            da_step = make_self_training_step(
-                lambda_=float(tcfg["lambda"]),
-                iterations=int(tcfg["iterations"]),
-                ignore_index=19 if ignore_index is None else ignore_index,
-                threshold=thr,
-                lambda_pl=float(st_cfg.get("lambda_pl", 1.0)),
-                ema_decay=ema_decay)
-        else:
-            from rtsds_tpu.train.adversarial import make_adversarial_step
+                # threshold: scalar, or a per-class comma list (CBST-style)
+                thr = st_cfg.get("threshold", 0.9)
+                if isinstance(thr, str) and "," in thr:
+                    from rtsds_tpu.config import parse_float_list
 
-            da_step = make_adversarial_step(
-                lambda_=float(tcfg["lambda"]),
-                iterations=int(tcfg["iterations"]),
-                epochs=int(tcfg["epochs"]),
-                ignore_index=ignore_index,
-                variant=str(tcfg.get("variant", "v1")))
+                    thr = parse_float_list(thr)
+                    if len(thr) != int(tcfg["num_classes"]):
+                        raise SystemExit(
+                            f"self_training.threshold lists one value per "
+                            f"class ({tcfg['num_classes']}), got {len(thr)}")
+                else:
+                    thr = float(thr)
+                st_threshold = thr
 
         def val_batches(_epoch):
             return _device_batches(data["cs_val"], data["cs_transform"], mesh)
@@ -484,6 +480,56 @@ def _main(argv=None):
             augment=args.augmented, infinite=True, start_index=consumed)
         target_iter = _device_batches(
             data["cs_train"], data["cs_transform"], mesh, infinite=True)
+
+        if self_training:
+            from rtsds_tpu.train.self_training import make_self_training_step
+
+            thr = st_threshold
+            if st_calibration is not None:
+                import itertools
+
+                import numpy as np
+
+                from rtsds_tpu.train.self_training import (
+                    calibrate_class_thresholds,
+                )
+
+                # teacher = the resumed EMA (stage-2 workflow: --resume
+                # from an adversarially-trained checkpoint) or the fresh
+                # init; a SEPARATE finite pass over the target loader so
+                # the training stream position is untouched
+                teacher = (resumed_ema if resumed_ema is not None
+                           else gen_state.params)
+                variables = {"params": teacher}
+                if gen_state.batch_stats is not None:
+                    variables["batch_stats"] = gen_state.batch_stats
+                cal_iter = itertools.islice(
+                    _device_batches(data["cs_train"], data["cs_transform"],
+                                    mesh),
+                    st_calibration["batches"])
+                thr = calibrate_class_thresholds(
+                    gen_state.apply_fn, variables, cal_iter,
+                    int(tcfg["num_classes"]),
+                    portion=st_calibration["portion"])
+                print("self-training calibration (portion="
+                      f"{st_calibration['portion']}): thresholds "
+                      f"{np.round(thr, 3).tolist()}")
+            da_step = make_self_training_step(
+                lambda_=float(tcfg["lambda"]),
+                iterations=int(tcfg["iterations"]),
+                ignore_index=19 if ignore_index is None else ignore_index,
+                threshold=thr,
+                lambda_pl=float(st_cfg.get("lambda_pl", 1.0)),
+                ema_decay=ema_decay)
+        else:
+            from rtsds_tpu.train.adversarial import make_adversarial_step
+
+            da_step = make_adversarial_step(
+                lambda_=float(tcfg["lambda"]),
+                iterations=int(tcfg["iterations"]),
+                epochs=int(tcfg["epochs"]),
+                ignore_index=ignore_index,
+                variant=str(tcfg.get("variant", "v1")))
 
         try:
             adversarial_fit(

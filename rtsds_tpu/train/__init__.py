@@ -6,6 +6,7 @@ from rtsds_tpu.train.adversarial import make_adversarial_step  # noqa: F401
 from rtsds_tpu.train.ema import ema_init, ema_update  # noqa: F401
 from rtsds_tpu.train.optim import make_optimizer  # noqa: F401
 from rtsds_tpu.train.self_training import (  # noqa: F401
+    calibrate_class_thresholds,
     make_self_training_step,
     pseudo_labels,
 )

@@ -60,6 +60,65 @@ def pseudo_labels(logits, threshold, ignore_index: int = 19):
     return labels, jnp.mean(keep.astype(jnp.float32))
 
 
+def calibrate_class_thresholds(apply_fn, variables, batches,
+                               num_classes: int, portion: float = 0.5,
+                               bins: int = 512,
+                               max_threshold: float = 0.999):
+    """CBST threshold calibration (Zou et al. ECCV'18 §2.2): per class,
+    the confidence bar that keeps the top ``portion`` fraction of the
+    pixels the teacher assigns to that class — rare classes get lower
+    bars, so the pseudo-label set is not dominated by easy classes.
+
+    Per-class confidence histograms accumulate ON DEVICE (one jit
+    program per batch: teacher forward, argmax, joint class×bin
+    bincount); only the final (num_classes, bins) table crosses to the
+    host, where the per-class quantile becomes a threshold.
+
+    Args:
+      apply_fn / variables: the teacher (e.g. ``{"params": ema_params,
+        "batch_stats": ...}``).
+      batches: iterable of target image batches (or (images, ...) tuples).
+      portion: fraction of each class's pixels to keep (0, 1].
+      bins: histogram resolution.
+      max_threshold: cap (never demand more confidence than this).
+
+    Returns a (num_classes,) float32 numpy vector for
+    :func:`make_self_training_step`'s ``threshold``; classes the teacher
+    never predicts get ``max_threshold`` (their bar is never consulted).
+    """
+    import numpy as np
+
+    @jax.jit
+    def accumulate(variables, images, hist):
+        out = apply_fn(variables, images, train=False)
+        if isinstance(out, (tuple, list)):
+            out = out[0]
+        probs = jax.nn.softmax(at_least_f32(out), axis=-1)
+        conf = jnp.max(probs, axis=-1)
+        cls = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        b = jnp.clip((conf * bins).astype(jnp.int32), 0, bins - 1)
+        joint = cls.reshape(-1) * bins + b.reshape(-1)
+        return hist + jnp.bincount(
+            joint, length=num_classes * bins).reshape(num_classes, bins)
+
+    hist = jnp.zeros((num_classes, bins), jnp.int32)
+    for batch in batches:
+        images = batch[0] if isinstance(batch, (tuple, list)) else batch
+        hist = accumulate(variables, images, hist)
+
+    h = np.asarray(hist)
+    thr = np.full((num_classes,), max_threshold, np.float32)
+    for c in range(num_classes):
+        total = int(h[c].sum())
+        if total == 0:
+            continue
+        # walk down from the most-confident bin until `portion` is kept
+        cum = np.cumsum(h[c][::-1])
+        k = int(np.searchsorted(cum, portion * total))
+        thr[c] = min((bins - 1 - k) / bins, max_threshold)
+    return thr
+
+
 def make_self_training_step(lambda_: float, iterations: int,
                             ignore_index: int = 19, *,
                             threshold=0.9, lambda_pl: float = 1.0,

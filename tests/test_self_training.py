@@ -149,6 +149,56 @@ def test_teacher_gets_no_gradient(key, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_calibration_exact_small_case():
+    """Crafted two-population class: portion=0.5 keeps only the
+    confident pixels, portion=1.0 keeps all."""
+    from rtsds_tpu.train.self_training import calibrate_class_thresholds
+
+    # 4 class-0 pixels: 3 confident (logit 6 -> conf .9926), 1 weak
+    # (logit 1 -> conf .4750); class 1 never predicted
+    logits = jnp.array([[[[6.0, 0, 0, 0], [6.0, 0, 0, 0]],
+                         [[6.0, 0, 0, 0], [1.0, 0, 0, 0]]]])
+
+    def apply_fn(variables, images, train=False):
+        return logits
+
+    batches = [jnp.zeros((1, 2, 2, 3))]
+    thr = calibrate_class_thresholds(apply_fn, {}, batches, 4, portion=0.5,
+                                     bins=512)
+    assert thr.shape == (4,)
+    assert 0.475 < thr[0] <= 0.9926  # keeps the 3 confident, drops the weak
+    labels, coverage = pseudo_labels(logits, thr, ignore_index=7)
+    np.testing.assert_allclose(float(coverage), 0.75)
+    # unpredicted classes get the cap
+    np.testing.assert_allclose(thr[1:], 0.999)
+    # portion=1.0 keeps everything
+    thr_all = calibrate_class_thresholds(apply_fn, {}, batches, 4,
+                                         portion=1.0, bins=512)
+    _, coverage = pseudo_labels(logits, thr_all, ignore_index=7)
+    np.testing.assert_allclose(float(coverage), 1.0)
+
+
+def test_calibration_coverage_tracks_portion(key, rng):
+    """On random teacher logits, applying the calibrated thresholds keeps
+    roughly the requested portion of pixels."""
+    from rtsds_tpu.train.self_training import calibrate_class_thresholds
+
+    gen_state, _, ema, _ = _st_setup(key)
+    variables = {"params": ema}
+    if gen_state.batch_stats is not None:
+        variables["batch_stats"] = gen_state.batch_stats
+    imgs = [jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+            for _ in range(3)]
+    for portion in (0.3, 0.7):
+        thr = calibrate_class_thresholds(gen_state.apply_fn, variables,
+                                         imgs, 19, portion=portion)
+        logits = gen_state.apply_fn(variables, imgs[0], train=False)
+        _, coverage = pseudo_labels(logits, thr, ignore_index=19)
+        # quantiles computed over 3 batches, applied to 1: loose band
+        assert portion - 0.2 <= float(coverage) <= portion + 0.2, \
+            (portion, float(coverage))
+
+
 def test_requires_ignore_index():
     with pytest.raises(ValueError, match="ignore_index"):
         make_self_training_step(lambda_=0.1, iterations=4,
@@ -218,6 +268,26 @@ def test_cli_self_training_da(tmp_path, monkeypatch):
     ckpt_root = tmp_path / "ckpt"
     items = {p.name for p in ckpt_root.rglob("*") if p.is_dir()}
     assert {"generator", "discriminator", "ema"} <= items
+
+
+@pytest.mark.slow
+def test_cli_self_training_calibration(tmp_path, monkeypatch, capsys):
+    """calibration.enabled derives CBST per-class thresholds from the
+    teacher before the fused step is built, through the real CLI."""
+    from test_e2e_features import _recording
+
+    from rtsds_tpu import cli
+
+    cfg = _st_config(tmp_path, {
+        "training.domain_adaptation.self_training.calibration": {
+            "enabled": True, "portion": 0.6, "batches": 2}})
+    recorder = _recording(monkeypatch)
+    cli.main(["--config", cfg, "--synthetic", "--domain_adaptation"])
+    assert recorder.train_ended
+    out = capsys.readouterr().out
+    assert "self-training calibration (portion=0.6)" in out
+    last = recorder.batch_logs[-1]
+    assert "loss_pseudo" in last and "pl_coverage" in last
 
 
 def test_cli_self_training_requires_ema(tmp_path):
