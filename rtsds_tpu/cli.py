@@ -577,7 +577,42 @@ def _main(argv=None):
             "bisenet" if args.model == "bisenet" else "deeplab"]
         ignore_index = cfg_model["criterion"].get("ignore_index")
         accumulate_steps = int(tcfg.get("accumulate_steps", 1))
-        if accumulate_steps > 1:
+        dist_cfg = tcfg.get("distillation")
+        distillation = bool(dist_cfg and dist_cfg.get("enabled", False))
+        if distillation:
+            # frozen-teacher KD: teacher forward + student CE+KL in one
+            # fused program (train/distill.py); teacher weights ride as a
+            # replicated argument, never baked into the HLO
+            if accumulate_steps > 1:
+                raise SystemExit("distillation does not compose with "
+                                 "accumulate_steps > 1; pick one")
+            t_cfg = dist_cfg.get("teacher") or {}
+            t_dir = t_cfg.get("checkpoint_dir", "") or ""
+            if not t_dir:
+                raise SystemExit("distillation needs training.segmentation."
+                                 "distillation.teacher.checkpoint_dir (a "
+                                 "trained ModelCheckpoint directory)")
+            teacher_name = str(t_cfg.get("model", "deeplab"))
+            from rtsds_tpu.parallel.mesh import replicated_sharding
+            from rtsds_tpu.train.distill import (
+                load_teacher_variables,
+                make_distill_step,
+            )
+
+            teacher_bundle = build_supervised(config, teacher_name,
+                                              len(train_loader))
+            teacher_vars = jax.device_put(
+                load_teacher_variables(
+                    t_dir, use_ema=bool(t_cfg.get("use_ema", True))),
+                replicated_sharding(mesh))
+            d_step = make_distill_step(
+                teacher_bundle.model.apply, ignore_index=ignore_index,
+                temperature=float(dist_cfg.get("temperature", 2.0)),
+                alpha=float(dist_cfg.get("alpha", 0.5)))
+
+            def train_step(st, images, labels):
+                return d_step(st, teacher_vars, images, labels)
+        elif accumulate_steps > 1:
             # K micro-batches through one lax.scan jit program, one
             # optimizer update (train/accumulate.py); the configured
             # batch_size is split K ways

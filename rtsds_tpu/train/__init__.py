@@ -3,6 +3,11 @@ from rtsds_tpu.train.accumulate import (  # noqa: F401
     split_microbatches,
 )
 from rtsds_tpu.train.adversarial import make_adversarial_step  # noqa: F401
+from rtsds_tpu.train.distill import (  # noqa: F401
+    distillation_kl,
+    load_teacher_variables,
+    make_distill_step,
+)
 from rtsds_tpu.train.ema import ema_init, ema_update  # noqa: F401
 from rtsds_tpu.train.optim import make_optimizer  # noqa: F401
 from rtsds_tpu.train.self_training import (  # noqa: F401

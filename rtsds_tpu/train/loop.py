@@ -62,10 +62,16 @@ def train_epoch(state, train_step, batches: Iterable, epoch: int,
         running_loss += loss
         correct += int(metrics["correct"])
         total += int(metrics["total"])
-        _fan_out(callbacks, "on_batch_end", batch_idx, {
+        logs = {
             "train_loss": loss,
             "train_accuracy": 100.0 * correct / max(total, 1),
-        })
+        }
+        # extra step metrics (e.g. distillation's loss_ce/loss_distill)
+        # pass through to the callbacks; the counters stay internal
+        for k, v in metrics.items():
+            if k not in ("train_loss", "correct", "total"):
+                logs[k] = float(v)
+        _fan_out(callbacks, "on_batch_end", batch_idx, logs)
 
     for batch_idx, (images, labels) in enumerate(batches):
         state, metrics = train_step(state, images, labels)
