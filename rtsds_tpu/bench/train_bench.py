@@ -12,7 +12,9 @@ the whole sequence, so async dispatch (and the axon backend's unreliable
 
 Run: ``python -m rtsds_tpu.bench.train_bench`` (env: TRAIN_MODEL,
 TRAIN_BATCH, TRAIN_SIZE "H,W", TRAIN_STEPS, TRAIN_BACKBONE
-resnet18|resnet101 for the bisenet context path).
+resnet18|resnet101 for the bisenet context path; TRAIN_DISTILL=
+bisenet|deeplab benches the fused KD step with that frozen teacher —
+random teacher weights, cost is shape- not value-dependent).
 """
 
 from __future__ import annotations
@@ -31,30 +33,46 @@ def supervised_step_benchmark(model_name: str = "bisenet",
                               num_classes: int = 19,
                               steps: int = 5, repeats: int = 3,
                               dtype=jnp.bfloat16,
-                              backbone: str = "resnet18") -> dict:
+                              backbone: str = "resnet18",
+                              distill_teacher: str | None = None) -> dict:
     from rtsds_tpu.train.optim import make_optimizer
     from rtsds_tpu.train.state import create_train_state
     from rtsds_tpu.train.supervised import make_train_step
     from rtsds_tpu.utils.schedules import poly_lr_schedule
 
-    if model_name == "deeplab":
-        from rtsds_tpu.models.deeplabv2 import DeepLabV2
+    def build(name):
+        if name == "deeplab":
+            from rtsds_tpu.models.deeplabv2 import DeepLabV2
 
-        model = DeepLabV2(num_classes=num_classes, dtype=dtype)
-    elif model_name == "bisenet":
-        from rtsds_tpu.models.bisenet import BiSeNet
+            return DeepLabV2(num_classes=num_classes, dtype=dtype)
+        if name == "bisenet":
+            from rtsds_tpu.models.bisenet import BiSeNet
 
-        model = BiSeNet(num_classes=num_classes, context_path=backbone,
-                        dtype=dtype)
-    else:
-        raise ValueError(f"unknown model {model_name!r}")
+            return BiSeNet(num_classes=num_classes, context_path=backbone,
+                           dtype=dtype)
+        raise ValueError(f"unknown model {name!r}")
 
+    model = build(model_name)
     key = jax.random.key(0)
     x = jax.random.normal(key, (batch_size, *image_size, 3), jnp.float32)
     labels = jnp.zeros((batch_size, *image_size), jnp.int32)
     tx = make_optimizer("Adam", poly_lr_schedule(1e-4, 5000, 0.9))
     state = create_train_state(model, key, jnp.zeros_like(x), tx)
-    step = make_train_step(ignore_index=num_classes, donate=False)
+
+    if distill_teacher:
+        from rtsds_tpu.train.distill import make_distill_step
+
+        teacher = build(distill_teacher)
+        t_vars = dict(teacher.init(jax.random.key(1), jnp.zeros_like(x),
+                                   train=False))
+        kd_step = make_distill_step(teacher.apply,
+                                    ignore_index=num_classes,
+                                    donate=False)
+
+        def step(state, x, labels):
+            return kd_step(state, t_vars, x, labels)
+    else:
+        step = make_train_step(ignore_index=num_classes, donate=False)
 
     def run_n(state, n):
         for _ in range(n):
@@ -75,6 +93,7 @@ def supervised_step_benchmark(model_name: str = "bisenet",
     return {
         "model": model_name,
         "backbone": backbone,
+        **({"distill_teacher": distill_teacher} if distill_teacher else {}),
         "steps_per_sec": 1.0 / best,
         "ms_per_step": best * 1000.0,
         "ms_per_sample": best * 1000.0 / batch_size,
@@ -91,10 +110,14 @@ def main():
                  os.environ.get("TRAIN_SIZE", "720,1280").split(","))
     steps = int(os.environ.get("TRAIN_STEPS", "5"))
     backbone = os.environ.get("TRAIN_BACKBONE", "resnet18")
+    distill = os.environ.get("TRAIN_DISTILL") or None
     stats = supervised_step_benchmark(model, batch_size=batch,
                                       image_size=size, steps=steps,
-                                      backbone=backbone)
-    print(json.dumps({"metric": f"{model}_supervised_train_step",
+                                      backbone=backbone,
+                                      distill_teacher=distill)
+    name = (f"{model}_distill_from_{distill}_train_step" if distill
+            else f"{model}_supervised_train_step")
+    print(json.dumps({"metric": name,
                       "value": round(stats["ms_per_step"], 2),
                       "unit": "ms/step", **stats}))
 
