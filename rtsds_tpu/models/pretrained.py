@@ -177,6 +177,134 @@ def merge_pretrained(variables: dict, converted: dict,
     return variables
 
 
+def _inv_scope(name: str) -> str:
+    """Invert :func:`_translate_key`'s scope flattening (flax -> torch)."""
+    if name == "downsample_conv":
+        return "downsample.0"
+    if name == "downsample_bn":
+        return "downsample.1"
+    m = re.fullmatch(r"(layer\d+)_(\d+)", name)
+    if m:
+        return f"{m.group(1)}.{m.group(2)}"
+    m = re.fullmatch(r"conv2d_list_(\d+)", name)
+    if m:
+        return f"conv2d_list.{m.group(1)}"
+    return name
+
+
+def export_torch_state_dict(variables: Mapping, rename: Mapping[str, str]
+                            | None = None, prefix: str = "",
+                            bn_counters: bool = True) -> dict:
+    """Flax variable tree -> torch-style flat state dict (numpy values).
+
+    The exact inverse of :func:`convert_torch_state_dict`: scopes
+    un-flatten (``layer2_3`` -> ``layer2.3``, ``downsample_conv`` ->
+    ``downsample.0``, ...), 4-D kernels transpose back HWIO -> OIHW,
+    BN ``scale`` -> ``weight`` and batch_stats ``mean``/``var`` ->
+    ``running_mean``/``running_var`` (2-D kernels pass through untouched,
+    mirroring the forward converter).  Lets a reference user take weights
+    trained HERE back to the torch ecosystem (the reference loads
+    state dicts at ``deeplabv2.py:179-188`` / ``build_contextpath.py:8``).
+
+    ``rename`` maps OUR first-segment scope names to the target's (e.g.
+    ``spatial_path`` -> the reference BiSeNet's misspelled
+    ``saptial_path``, ``build_bisenet.py``); ``prefix`` re-adds a dotted
+    prefix the import stripped (DeepLab checkpoints).  ``bn_counters``
+    emits the ``num_batches_tracked`` zero buffers torch BNs carry, so
+    ``load_state_dict(strict=True)`` is satisfiable.
+    """
+    rename = dict(rename or {})
+    out: dict = {}
+
+    def torch_key(path: tuple[str, ...], leaf: str) -> str:
+        head = rename.get(path[0], path[0]) if path else ""
+        segs = [_inv_scope(s) for s in (head, *path[1:])]
+        return prefix + ".".join((*segs, leaf))
+
+    def walk(node, path, emit):
+        for k in node:
+            v = node[k]
+            if hasattr(v, "items"):
+                walk(v, (*path, k), emit)
+            else:
+                emit(path, k, np.asarray(v))
+
+    def emit_param(path, leaf, arr):
+        if leaf == "kernel":
+            if arr.ndim == 4:
+                arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+            out[torch_key(path, "weight")] = arr
+        elif leaf == "scale":
+            out[torch_key(path, "weight")] = arr
+        elif leaf == "bias":
+            out[torch_key(path, "bias")] = arr
+        else:  # unknown leaf: export verbatim rather than drop silently
+            out[torch_key(path, leaf)] = arr
+
+    def emit_stat(path, leaf, arr):
+        name = {"mean": "running_mean", "var": "running_var"}.get(leaf, leaf)
+        out[torch_key(path, name)] = arr
+        if bn_counters and leaf == "mean":
+            out[torch_key(path, "num_batches_tracked")] = np.zeros(
+                (), np.int64)
+
+    if "params" in variables:
+        walk(variables["params"], (), emit_param)
+    if "batch_stats" in variables and variables["batch_stats"] is not None:
+        walk(variables["batch_stats"], (), emit_stat)
+    return out
+
+
+# our BiSeNet scope names -> the reference's torch module names
+# (including the reference's misspelled 'saptial_path', build_bisenet.py:89)
+REFERENCE_BISENET_RENAMES = {
+    "spatial_path": "saptial_path",
+    "arm1": "attention_refinement_module1",
+    "arm2": "attention_refinement_module2",
+    "ffm": "feature_fusion_module",
+}
+
+
+def export_reference_bisenet_state_dict(variables: Mapping,
+                                        context_aliases: bool = True) -> dict:
+    """Export a BiSeNet tree under the REFERENCE's module names.
+
+    ``context_aliases=True`` duplicates every ``context_path.*`` entry as
+    ``context_path.features.*``: the reference context path aliases its
+    torchvision submodules as attributes of ``self.features``
+    (``build_contextpath.py:8-16``), so its state dict carries BOTH key
+    sets and a ``load_state_dict(strict=True)`` demands the duplicates.
+    """
+    state = export_torch_state_dict(variables,
+                                    rename=REFERENCE_BISENET_RENAMES)
+    if context_aliases:
+        for k in list(state):
+            if k.startswith("context_path."):
+                state["context_path.features."
+                      + k[len("context_path."):]] = state[k]
+    return state
+
+
+def save_state_dict(state: Mapping[str, np.ndarray], path: str) -> int:
+    """``torch.save`` a numpy state dict (as tensors); returns entry count."""
+    import torch
+
+    # copy=True: exported leaves can alias read-only jax buffers, which
+    # torch.from_numpy refuses to own
+    torch.save({k: torch.from_numpy(np.array(v, copy=True))
+                for k, v in state.items()}, path)
+    return len(state)
+
+
+def save_torch_checkpoint(variables: Mapping, path: str,
+                          rename: Mapping[str, str] | None = None,
+                          prefix: str = "") -> int:
+    """Export + ``torch.save`` in one call; returns entry count."""
+    return save_state_dict(
+        export_torch_state_dict(variables, rename=rename, prefix=prefix),
+        path)
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Deserialize a ``.pth``/``.pt`` (via torch) or ``.npz`` checkpoint."""
     if path.endswith(".npz"):

@@ -21,6 +21,40 @@ from rtsds_tpu.ops.preprocess import normalize
 from rtsds_tpu.utils.colors import apply_color_map
 
 
+def load_checkpoint_variables(checkpoint_dir: str,
+                              use_ema: bool = True) -> dict:
+    """Best (else latest) ModelCheckpoint step -> inference variable tree.
+
+    The stored tree is ``{"model": state}`` or ``{"generator": ...}``; the
+    segmentation network is 'model' or 'generator'.  When the run trained
+    with EMA, the checkpoint carries an ``ema`` item holding the weights
+    the validation mIoU (and best-step selection) was computed on --
+    prefer THOSE; ``use_ema=False`` opts back into raw training params.
+    """
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(checkpoint_dir)
+    step = mgr.best_step()
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints in {checkpoint_dir}")
+    restored = mgr.restore(step)
+    mgr.close()
+    tree = restored.get("model", restored.get("generator", restored))
+    params = tree["params"]
+    # restored is Composite/dict-like; .get covers both
+    ema = restored.get("ema") if hasattr(restored, "get") else None
+    if use_ema and ema:
+        params = ema["params"]
+        print("serve: using the checkpoint's EMA weights "
+              "(use_ema=False for the raw training params)")
+    variables = {"params": params}
+    if "batch_stats" in tree:
+        variables["batch_stats"] = tree["batch_stats"]
+    return variables
+
+
 def batched_mask_predict(call, frames: np.ndarray,
                          image_size: tuple[int, int],
                          batch_size: int | None) -> np.ndarray:
@@ -256,28 +290,8 @@ class Predictor:
         best-step selection) was computed on -- serve THOSE by default;
         ``use_ema=False`` opts back into the raw training params.
         """
-        import orbax.checkpoint as ocp
-
-        mgr = ocp.CheckpointManager(checkpoint_dir)
-        step = mgr.best_step()
-        if step is None:
-            step = mgr.latest_step()
-        if step is None:
-            raise FileNotFoundError(f"no checkpoints in {checkpoint_dir}")
-        restored = mgr.restore(step)
-        mgr.close()
-        tree = restored.get("model", restored.get("generator", restored))
-        params = tree["params"]
-        # restored is Composite/dict-like; .get covers both
-        ema = restored.get("ema") if hasattr(restored, "get") else None
-        if use_ema and ema:
-            params = ema["params"]
-            print("serve: using the checkpoint's EMA weights "
-                  "(use_ema=False for the raw training params)")
-        variables = {"params": params}
-        if "batch_stats" in tree:
-            variables["batch_stats"] = tree["batch_stats"]
-        return cls(variables=variables, **kwargs)
+        return cls(variables=load_checkpoint_variables(
+            checkpoint_dir, use_ema=use_ema), **kwargs)
 
 
 def main(argv=None):

@@ -2,6 +2,9 @@
 OIHW->HWIO transpose, prefix stripping (deeplabv2.py:183-188 rule),
 non-strict merge into BiSeNet's context path."""
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -221,3 +224,160 @@ def test_strict_conversion_raises_on_unmapped_keys():
     out = convert_torch_state_dict(
         {"some.novel.thing": np.zeros((2, 2), np.float32)})
     assert out["params"] == {}
+
+
+# ---------------------------------------------------------------------------
+# Export (flax -> torch): the inverse converter.  Round-trip identity, file
+# round-trip, and the strongest gate available offline: our weights strict-
+# loaded into the ACTUAL reference models reproduce our forward outputs.
+# ---------------------------------------------------------------------------
+
+
+def _randomize_batch_stats(variables, rng):
+    """Non-trivial BN stats so exports exercise the stats path, not 0/1."""
+    import jax
+
+    def rnd(leaf):
+        a = np.asarray(leaf)
+        return rng.uniform(0.5, 1.5, a.shape).astype(a.dtype)
+
+    variables = dict(variables)
+    variables["batch_stats"] = jax.tree_util.tree_map(
+        rnd, variables["batch_stats"])
+    return variables
+
+
+def test_export_roundtrip_identity(key, rng):
+    from rtsds_tpu.models.pretrained import export_torch_state_dict
+
+    model = ResNetBackbone(arch="resnet18")
+    variables = _randomize_batch_stats(
+        dict(model.init(key, jnp.zeros((1, 32, 64, 3)))), rng)
+
+    state = export_torch_state_dict(variables)
+    assert any(k.endswith("num_batches_tracked") for k in state)
+    back = convert_torch_state_dict(state, strict=True)
+
+    import jax
+
+    flat_orig = jax.tree_util.tree_leaves_with_path(
+        {k: variables[k] for k in ("params", "batch_stats")})
+    flat_back = jax.tree_util.tree_leaves_with_path(back)
+    assert len(flat_orig) == len(flat_back)
+    for (p_o, l_o), (p_b, l_b) in zip(sorted(flat_orig, key=lambda t: str(t[0])),
+                                      sorted(flat_back, key=lambda t: str(t[0]))):
+        assert str(p_o) == str(p_b)
+        np.testing.assert_array_equal(np.asarray(l_o), np.asarray(l_b))
+
+
+def test_save_torch_checkpoint_file_roundtrip(key, rng, tmp_path):
+    from rtsds_tpu.models.pretrained import (
+        load_torch_checkpoint,
+        save_torch_checkpoint,
+    )
+
+    model = ResNetBackbone(arch="resnet18")
+    variables = _randomize_batch_stats(
+        dict(model.init(key, jnp.zeros((1, 32, 64, 3)))), rng)
+    path = str(tmp_path / "backbone.pth")
+    n = save_torch_checkpoint(variables, path)
+    assert n > 100
+
+    fresh = dict(model.init(jax.random.key(7), jnp.zeros((1, 32, 64, 3))))
+    converted = convert_torch_state_dict(load_torch_checkpoint(path),
+                                         strict=True)
+    report = {}
+    merged = merge_pretrained(fresh, converted, verbose=False, report=report)
+    assert report["skipped"] == []
+    np.testing.assert_array_equal(
+        merged["params"]["conv1"]["kernel"],
+        np.asarray(variables["params"]["conv1"]["kernel"]))
+    np.testing.assert_array_equal(
+        merged["batch_stats"]["layer2_0"]["bn1"]["var"],
+        np.asarray(variables["batch_stats"]["layer2_0"]["bn1"]["var"]))
+
+
+def test_export_strict_loads_into_reference_deeplab_and_matches_forward(
+        key, rng):
+    """Our DeepLabV2 weights -> torch state dict -> the ACTUAL reference
+    ResNetMulti (deeplabv2.py) via load_state_dict(strict=True); eval
+    forward outputs must match.  Proves the exporter is a true inverse on
+    the full 626-tensor layout, dilations and ASPP included."""
+    import importlib.util
+    import os
+
+    import pytest
+    import torch
+
+    ref_path = "/root/reference/models/deeplabv2/deeplabv2.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference tree not mounted")
+    spec = importlib.util.spec_from_file_location("ref_deeplabv2_exp",
+                                                  ref_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from rtsds_tpu.models.deeplabv2 import DeepLabV2
+    from rtsds_tpu.models.pretrained import export_torch_state_dict
+
+    model = DeepLabV2(num_classes=19)
+    x = rng.normal(size=(1, 65, 97, 3)).astype(np.float32)
+    variables = _randomize_batch_stats(
+        dict(model.init(key, jnp.asarray(x), train=False)), rng)
+
+    state = {k: torch.from_numpy(np.array(v, copy=True))
+             for k, v in export_torch_state_dict(variables).items()}
+    ref_model = mod.ResNetMulti(mod.Bottleneck, [3, 4, 23, 3], 19)
+    ref_model.load_state_dict(state, strict=True)  # raises on any mismatch
+
+    ref_model.eval()
+    with torch.no_grad():
+        ref_out = ref_model(torch.tensor(x.transpose(0, 3, 1, 2)))
+    ref_out = ref_out.permute(0, 2, 3, 1).numpy()
+
+    ours = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_export_loads_into_reference_bisenet_and_matches_forward(
+        monkeypatch, key, rng):
+    """Our BiSeNet weights -> the ACTUAL reference BiSeNet (misspelled
+    'saptial_path' and all) via the exporter's rename hook; strict
+    load_state_dict (context_path.features.* aliases included) and eval
+    forward parity."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from reference_loader import load_reference_bisenet
+
+    import torch
+
+    ref_mod = load_reference_bisenet(monkeypatch)
+
+    from rtsds_tpu.models.bisenet import BiSeNet
+    from rtsds_tpu.models.pretrained import (
+        export_reference_bisenet_state_dict,
+    )
+
+    model = BiSeNet(num_classes=19, context_path="resnet18", fast_head=False)
+    x = rng.normal(size=(2, 64, 128, 3)).astype(np.float32)
+    # init in TRAIN mode: the supervision heads only exist there, and the
+    # reference's strict load demands them
+    variables = _randomize_batch_stats(
+        dict(model.init(key, jnp.asarray(x), train=True)), rng)
+
+    state = export_reference_bisenet_state_dict(variables)
+    tensors = {k: torch.from_numpy(np.array(v, copy=True))
+               for k, v in state.items()}
+
+    torch.manual_seed(0)
+    ref_model = ref_mod.BiSeNet(19, "resnet18")
+    ref_model.load_state_dict(tensors, strict=True)
+
+    ref_model.eval()
+    with torch.no_grad():
+        ref_out = ref_model(torch.tensor(x.transpose(0, 3, 1, 2)))
+    ref_out = ref_out.permute(0, 2, 3, 1).numpy()
+
+    ours = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-3, atol=1e-4)
