@@ -10,7 +10,9 @@ steps are chained through the evolving train states inside a scan, fenced
 by a host fetch, so async dispatch cannot fake the rate.
 
 Run: ``python -m rtsds_tpu.bench.da_bench`` (env: DA_BATCH, DA_STEPS,
-DA_SELF_TRAINING=1 to bench the fused pseudo-label step instead).
+DA_SELF_TRAINING=1 to bench the fused pseudo-label step instead;
+DA_ENTROPY=<lambda> / DA_FDA=<beta> to fuse MinEnt / FDA restyling in;
+DA_CLASSMIX=1 for the DACS mixed-batch step).
 """
 
 from __future__ import annotations
@@ -32,7 +34,9 @@ TARGET_MULTIPLE = 5.0
 
 def da_step_benchmark(batch_size: int = 4, src_hw=(720, 1280),
                       tgt_hw=(512, 1024), steps: int = 5, repeats: int = 3,
-                      dtype=jnp.bfloat16, self_training: bool = False) -> dict:
+                      dtype=jnp.bfloat16, self_training: bool = False,
+                      lambda_ent: float = 0.0, fda_beta: float = 0.0,
+                      classmix: bool = False) -> dict:
     """``self_training=True`` benches the fused pseudo-label step
     (``train/self_training.py``: +1 teacher forward at target resolution,
     +1 thresholded CE, +1 EMA tree update vs the plain v1 step)."""
@@ -64,7 +68,10 @@ def da_step_benchmark(batch_size: int = 4, src_hw=(720, 1280),
         from rtsds_tpu.train.self_training import make_self_training_step
 
         st_step = make_self_training_step(lambda_=0.1, iterations=100,
-                                          threshold=0.9, donate=False)
+                                          threshold=0.9, donate=False,
+                                          lambda_ent=lambda_ent,
+                                          fda_beta=fda_beta,
+                                          classmix=classmix)
         ema = ema_init(gen_state.params)
 
         def step(gen_state, dis_state, ema, *batch):
@@ -73,7 +80,9 @@ def da_step_benchmark(batch_size: int = 4, src_hw=(720, 1280),
     else:
         v1_step = make_adversarial_step(lambda_=0.1, iterations=100,
                                         epochs=50, variant="v1",
-                                        donate=False)
+                                        donate=False,
+                                        lambda_ent=lambda_ent,
+                                        fda_beta=fda_beta)
         ema = None
 
         def step(gen_state, dis_state, ema, *batch):
@@ -108,6 +117,8 @@ def da_step_benchmark(batch_size: int = 4, src_hw=(720, 1280),
         "tgt_hw": list(tgt_hw),
         "dtype": str(getattr(dtype, "__name__", dtype)),
         "self_training": self_training,
+        "lambda_ent": lambda_ent,
+        "fda_beta": fda_beta,
     }
 
 
@@ -115,8 +126,13 @@ def main():
     batch = int(os.environ.get("DA_BATCH", "4"))
     steps = int(os.environ.get("DA_STEPS", "5"))
     self_training = os.environ.get("DA_SELF_TRAINING", "0") == "1"
+    lambda_ent = float(os.environ.get("DA_ENTROPY", "0"))
+    fda_beta = float(os.environ.get("DA_FDA", "0"))
+    classmix = os.environ.get("DA_CLASSMIX", "0") == "1"
     stats = da_step_benchmark(batch_size=batch, steps=steps,
-                              self_training=self_training)
+                              self_training=self_training or classmix,
+                              lambda_ent=lambda_ent, fda_beta=fda_beta,
+                              classmix=classmix)
     sps = stats["steps_per_sec"]
     print(json.dumps({
         "metric": ("da_self_training_steps_per_sec" if self_training

@@ -433,6 +433,17 @@ def _main(argv=None):
                     thr = float(thr)
                 st_threshold = thr
 
+        # optional fused DA extras (both compose with v1/v2/self-training):
+        # MinEnt target-entropy loss (ADVENT) and FDA source restyling
+        ent_cfg = tcfg.get("entropy_min")
+        lambda_ent = (float(ent_cfg.get("lambda", 0.005))
+                      if ent_cfg and bool(ent_cfg.get("enabled", False))
+                      else 0.0)
+        fda_cfg = tcfg.get("fda")
+        fda_beta = (float(fda_cfg.get("beta", 0.01))
+                    if fda_cfg and bool(fda_cfg.get("enabled", False))
+                    else 0.0)
+
         def val_batches(_epoch):
             return _device_batches(data["cs_val"], data["cs_transform"], mesh)
 
@@ -514,13 +525,17 @@ def _main(argv=None):
                 print("self-training calibration (portion="
                       f"{st_calibration['portion']}): thresholds "
                       f"{np.round(thr, 3).tolist()}")
+            cm_cfg = st_cfg.get("classmix")
             da_step = make_self_training_step(
                 lambda_=float(tcfg["lambda"]),
                 iterations=int(tcfg["iterations"]),
                 ignore_index=19 if ignore_index is None else ignore_index,
                 threshold=thr,
                 lambda_pl=float(st_cfg.get("lambda_pl", 1.0)),
-                ema_decay=ema_decay)
+                ema_decay=ema_decay,
+                lambda_ent=lambda_ent, fda_beta=fda_beta,
+                classmix=bool(cm_cfg and cm_cfg.get("enabled", False)),
+                classmix_seed=int(args.seed))
         else:
             from rtsds_tpu.train.adversarial import make_adversarial_step
 
@@ -529,7 +544,8 @@ def _main(argv=None):
                 iterations=int(tcfg["iterations"]),
                 epochs=int(tcfg["epochs"]),
                 ignore_index=ignore_index,
-                variant=str(tcfg.get("variant", "v1")))
+                variant=str(tcfg.get("variant", "v1")),
+                lambda_ent=lambda_ent, fda_beta=fda_beta)
 
         try:
             adversarial_fit(

@@ -46,6 +46,24 @@ def bce_with_logits(logits, targets):
     return loss.mean()
 
 
+def entropy_loss(logits):
+    """Mean normalized Shannon entropy of the per-pixel class
+    distributions (MinEnt, Vu et al. "ADVENT" CVPR'19 eq. 2).
+
+    Normalized by ``log(num_classes)`` so the value lives in [0, 1]
+    regardless of the class count and the paper's lambda settings
+    transfer.  Used as an unsupervised target-domain loss: minimizing it
+    pushes predictions on unlabeled target images toward confident
+    (low-entropy) decisions.
+    """
+    x = at_least_f32(logits)
+    logp = jax.nn.log_softmax(x, axis=-1)
+    # entropy via p*logp with p = exp(logp): one softmax-family kernel,
+    # numerically safe at p -> 0 (p*logp -> 0)
+    ent = -jnp.sum(jnp.exp(logp) * logp, axis=-1)
+    return jnp.mean(ent) / jnp.log(x.shape[-1])
+
+
 def segmentation_loss(outputs, labels, ignore_index: int | None = 19):
     """Main + auxiliary-head CE sum (``train.py:86-92``).
 

@@ -28,7 +28,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rtsds_tpu.ops.losses import bce_with_logits, segmentation_loss
+from rtsds_tpu.ops.fda import fda_source_to_target
+from rtsds_tpu.ops.losses import bce_with_logits, entropy_loss, \
+    segmentation_loss
 from rtsds_tpu.ops.pool import adaptive_avg_pool2d
 from rtsds_tpu.utils.schedules import lambda_adv_schedule
 
@@ -50,26 +52,50 @@ def _apply_gen(state, params, batch_stats, images):
 
 def make_adversarial_step(lambda_: float, iterations: int, epochs: int,
                           ignore_index: int | None = 19,
-                          variant: str = "v1", donate: bool = True):
+                          variant: str = "v1", donate: bool = True,
+                          lambda_ent: float = 0.0, fda_beta: float = 0.0):
     """Build the fused G/D step.
 
     Signature: ``step(gen_state, dis_state, src_images, src_labels,
     tgt_images) -> (gen_state, dis_state, metrics)``.  Source and target
     batches may have different spatial sizes (720x1280 vs 512x1024), as in
     the reference's dataloaders.
+
+    Beyond-reference options, both fused into the same jit program:
+    ``lambda_ent > 0`` adds MinEnt target-entropy minimization (ADVENT,
+    Vu et al. CVPR'19) on the generator's target logits — scaled by
+    ``1/iterations`` under v1's loss convention, unnormalized under v2's;
+    ``fda_beta > 0`` restyles each source batch with the target batch's
+    low-frequency FFT amplitude before the generator sees it (FDA, Yang
+    & Soatto CVPR'20 — see :mod:`rtsds_tpu.ops.fda`).
     """
     if variant == "v1":
-        step = _make_v1_step(lambda_, iterations, ignore_index)
+        step = _make_v1_step(lambda_, iterations, ignore_index, lambda_ent)
     elif variant == "v2":
-        step = _make_v2_step(lambda_, iterations, ignore_index)
+        step = _make_v2_step(lambda_, iterations, ignore_index, lambda_ent)
     else:
         raise ValueError(f"unknown adversarial variant {variant!r}")
+    step = _with_fda(step, fda_beta)
     if donate:
         return jax.jit(step, donate_argnums=(0, 1))
     return jax.jit(step)
 
 
-def _make_v1_step(lambda_: float, iterations: int, ignore_index):
+def _with_fda(step, fda_beta: float):
+    """Wrap a DA step so the source batch is FDA-restyled on device first
+    (part of the same jit program; no extra dispatch)."""
+    if not fda_beta:
+        return step
+
+    def fda_step(gen_state, dis_state, src_images, src_labels, tgt_images):
+        src_images = fda_source_to_target(src_images, tgt_images, fda_beta)
+        return step(gen_state, dis_state, src_images, src_labels, tgt_images)
+
+    return fda_step
+
+
+def _make_v1_step(lambda_: float, iterations: int, ignore_index,
+                  lambda_ent: float = 0.0):
     inv_iters = 1.0 / float(iterations)
 
     def step(gen_state, dis_state, src_images, src_labels, tgt_images):
@@ -86,12 +112,19 @@ def _make_v1_step(lambda_: float, iterations: int, ignore_index):
             d_tgt = dis_state.apply_fn({"params": dis_state.params},
                                        jax.nn.softmax(tgt_main, axis=-1))
             adv_loss = lambda_ * bce_with_logits(d_tgt, 1.0) * inv_iters
-            aux = (bs2, src_out[0], tgt_main, seg_loss, adv_loss)
-            return seg_loss + adv_loss, aux
+            total = seg_loss + adv_loss
+            ent_loss = None
+            if lambda_ent:
+                # MinEnt on target predictions, v1-normalized like the
+                # other generator losses
+                ent_loss = lambda_ent * entropy_loss(tgt_main) * inv_iters
+                total = total + ent_loss
+            aux = (bs2, src_out[0], tgt_main, seg_loss, adv_loss, ent_loss)
+            return total, aux
 
         grads_fn = jax.value_and_grad(gen_loss_fn, has_aux=True)
-        (_, (new_bs, src_main, tgt_main, seg_loss, adv_loss)), gen_grads = \
-            grads_fn(gen_state.params)
+        (_, (new_bs, src_main, tgt_main, seg_loss, adv_loss, ent_loss)), \
+            gen_grads = grads_fn(gen_state.params)
         gen_state = gen_state.apply_gradients(grads=gen_grads,
                                               batch_stats=new_bs)
 
@@ -119,12 +152,15 @@ def _make_v1_step(lambda_: float, iterations: int, ignore_index):
             "correct": jnp.sum(preds == src_labels),
             "total": jnp.asarray(src_labels.size, jnp.int32),
         }
+        if ent_loss is not None:
+            metrics["loss_entropy"] = ent_loss
         return gen_state, dis_state, metrics
 
     return step
 
 
-def _make_v2_step(lambda_: float, iterations: int, ignore_index):
+def _make_v2_step(lambda_: float, iterations: int, ignore_index,
+                  lambda_ent: float = 0.0):
     lam_sched = lambda_adv_schedule(lambda_, iterations)
 
     def step(gen_state, dis_state, src_images, src_labels, tgt_images):
@@ -144,9 +180,17 @@ def _make_v2_step(lambda_: float, iterations: int, ignore_index):
             # toward the fake/source label (train.py:411-412)
             loss_adv = bce_with_logits(d_real, 0.0)
             total = seg_loss + lam * loss_adv
-            return total, (bs2, src_out[0], seg_loss, loss_adv, total)
+            ent_loss = None
+            if lambda_ent:
+                # MinEnt on the full-resolution target logits,
+                # unnormalized like v2's other losses
+                ent_loss = lambda_ent * entropy_loss(tgt_out[0])
+                total = total + ent_loss
+            return total, (bs2, src_out[0], seg_loss, loss_adv, ent_loss,
+                           total)
 
-        (_, (new_bs, src_main, seg_loss, loss_adv, g_total)), gen_grads = \
+        (_, (new_bs, src_main, seg_loss, loss_adv, ent_loss, g_total)), \
+            gen_grads = \
             jax.value_and_grad(gen_loss_fn, has_aux=True)(gen_state.params)
         gen_state = gen_state.apply_gradients(grads=gen_grads,
                                               batch_stats=new_bs)
@@ -187,6 +231,8 @@ def _make_v2_step(lambda_: float, iterations: int, ignore_index):
             "correct": jnp.sum(preds == src_labels),
             "total": jnp.asarray(src_labels.size, jnp.int32),
         }
+        if ent_loss is not None:
+            metrics["loss_entropy"] = ent_loss
         return gen_state, dis_state, metrics
 
     return step

@@ -233,7 +233,8 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
         eval_step = make_eval_step(gen_state.apply_fn, num_classes,
                                    return_preds=plot_cbs)
     loss_keys = ["loss_gen_source", "loss_adversarial", "loss_pseudo",
-                 "pl_coverage", "loss_disc_source", "loss_disc_target"]
+                 "pl_coverage", "mix_coverage", "loss_entropy",
+                 "loss_disc_source", "loss_disc_target"]
     ema_apply = None
     if ema_in_step:
         # the fused step owns the teacher update; seed/commit only (a

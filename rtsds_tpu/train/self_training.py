@@ -26,7 +26,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rtsds_tpu.ops.losses import bce_with_logits, segmentation_loss
+from rtsds_tpu.ops.fda import fda_source_to_target
+from rtsds_tpu.ops.losses import bce_with_logits, entropy_loss, \
+    segmentation_loss
+from rtsds_tpu.ops.resize import resize_bilinear, resize_labels_nearest
 from rtsds_tpu.train.adversarial import _apply_gen
 from rtsds_tpu.train.ema import ema_update
 from rtsds_tpu.utils.dtypes import at_least_f32
@@ -58,6 +61,34 @@ def pseudo_labels(logits, threshold, ignore_index: int = 19):
     keep = conf >= thr
     labels = jnp.where(keep, labels, jnp.asarray(ignore_index, jnp.int32))
     return labels, jnp.mean(keep.astype(jnp.float32))
+
+
+def classmix_masks(labels, key, num_classes: int):
+    """Per-sample binary masks selecting the pixels of a random HALF of
+    the classes present in each label map (ClassMix, Olsson et al.
+    WACV'21 §3.1 — the mixing rule DACS builds on).
+
+    Exactly ``ceil(present / 2)`` classes are chosen per sample, uniformly
+    among the classes that actually appear (ignore/void labels are >=
+    ``num_classes`` and never selectable).  Dense one-hot formulation: no
+    gathers, everything fuses on the VPU.
+
+    Returns a (N, H, W) bool mask: True = pixel belongs to a selected
+    class (comes from THIS image in the mix).
+    """
+    labels = labels.astype(jnp.int32)
+    classes = jnp.arange(num_classes, dtype=jnp.int32)
+    onehot = labels[..., None] == classes               # (N, H, W, C)
+    present = jnp.any(onehot, axis=(1, 2))              # (N, C)
+    scores = jax.random.uniform(key, present.shape)
+    scores = jnp.where(present, scores, jnp.inf)
+    n_present = jnp.sum(present, axis=-1)               # (N,)
+    k = (n_present + 1) // 2                            # ceil(half)
+    kth = jnp.take_along_axis(
+        jnp.sort(scores, axis=-1),
+        jnp.clip(k - 1, 0, num_classes - 1)[:, None], axis=-1)
+    selected = (scores <= kth) & present                # the k smallest
+    return jnp.any(onehot & selected[:, None, None, :], axis=-1)
 
 
 def calibrate_class_thresholds(apply_fn, variables, batches,
@@ -122,7 +153,9 @@ def calibrate_class_thresholds(apply_fn, variables, batches,
 def make_self_training_step(lambda_: float, iterations: int,
                             ignore_index: int = 19, *,
                             threshold=0.9, lambda_pl: float = 1.0,
-                            ema_decay: float = 0.999, donate: bool = True):
+                            ema_decay: float = 0.999, donate: bool = True,
+                            lambda_ent: float = 0.0, fda_beta: float = 0.0,
+                            classmix: bool = False, classmix_seed: int = 42):
     """Build the fused v1-adversarial + pseudo-label + mean-teacher step.
 
     Signature: ``step(gen_state, dis_state, ema_params, src_images,
@@ -135,6 +168,21 @@ def make_self_training_step(lambda_: float, iterations: int,
     pseudo-label CE uses the same main+aux ``segmentation_loss`` as the
     source CE so aux heads learn from the teacher too.  ``threshold``
     may be a scalar or a per-class vector (see :func:`pseudo_labels`).
+
+    ``lambda_ent``/``fda_beta`` add the same fused MinEnt / FDA options
+    as :func:`rtsds_tpu.train.adversarial.make_adversarial_step` — all
+    four DA techniques (adversarial, pseudo-label, entropy, Fourier
+    restyling) compose in one compiled program.
+
+    ``classmix=True`` upgrades the pseudo-label CE to DACS (Tranheden et
+    al. WACV'21): a random half of each source image's classes is pasted
+    onto the target image (source resized to target resolution on
+    device), the labels mixed from real source labels and the teacher's
+    thresholded pseudo-labels, and the student takes the ``lambda_pl``
+    CE on the MIXED batch instead of the raw target — one extra
+    generator forward/backward at target resolution, still a single jit
+    program.  The mix RNG folds ``classmix_seed`` with the step counter,
+    so resume replays identical mixes (deterministic-resume contract).
     """
     if ignore_index is None:
         raise ValueError("self-training needs an ignore_index to mask "
@@ -143,6 +191,9 @@ def make_self_training_step(lambda_: float, iterations: int,
 
     def step(gen_state, dis_state, ema_params, src_images, src_labels,
              tgt_images):
+        # optional FDA restyling of the source batch (ops/fda.py); the
+        # teacher and discriminator consume the target batch unchanged
+        src_images = fda_source_to_target(src_images, tgt_images, fda_beta)
         # ---- teacher pseudo-labels (eval-mode forward, running BN stats;
         # argmax/threshold are non-differentiable and ema_params are not
         # differentiated, but stop_gradient documents the intent) --------
@@ -155,6 +206,36 @@ def make_self_training_step(lambda_: float, iterations: int,
         pl, coverage = pseudo_labels(jax.lax.stop_gradient(t_out),
                                      threshold, ignore_index)
 
+        # ---- optional DACS ClassMix batch (built from non-differentiated
+        # inputs, outside the grad closure) --------------------------------
+        mix_images = mix_labels = mix_coverage = None
+        if classmix:
+            num_classes = t_out.shape[-1]
+            tgt_hw = tgt_images.shape[1:3]
+            src_small = src_images
+            if src_small.shape[1:3] != tgt_hw:
+                src_small = resize_bilinear(src_small, tgt_hw)
+            src_lbl_small = src_labels
+            if src_lbl_small.shape[1:3] != tgt_hw:
+                src_lbl_small = resize_labels_nearest(src_lbl_small, tgt_hw)
+            nt = tgt_images.shape[0]
+            if src_small.shape[0] != nt:
+                idx = jnp.arange(nt) % src_small.shape[0]
+                src_small = src_small[idx]
+                src_lbl_small = src_lbl_small[idx]
+            # fold the step counter in: deterministic across resume,
+            # different every iteration
+            mix_key = jax.random.fold_in(jax.random.key(classmix_seed),
+                                         gen_state.step)
+            mask = classmix_masks(src_lbl_small, mix_key, num_classes)
+            mix_images = jnp.where(mask[..., None],
+                                   src_small.astype(tgt_images.dtype),
+                                   tgt_images)
+            mix_labels = jnp.where(mask,
+                                   src_lbl_small.astype(jnp.int32),
+                                   pl)
+            mix_coverage = jnp.mean(mask.astype(jnp.float32))
+
         # ---- generator update: v1 losses + pseudo-label CE ---------------
         def gen_loss_fn(gen_params):
             src_out, bs1 = _apply_gen(gen_state, gen_params,
@@ -166,14 +247,30 @@ def make_self_training_step(lambda_: float, iterations: int,
             d_tgt = dis_state.apply_fn({"params": dis_state.params},
                                        jax.nn.softmax(tgt_main, axis=-1))
             adv_loss = lambda_ * bce_with_logits(d_tgt, 1.0) * inv_iters
-            pl_loss = lambda_pl * segmentation_loss(
-                tgt_out, pl, ignore_index) * inv_iters
-            aux = (bs2, src_out[0], tgt_main, seg_loss, adv_loss, pl_loss)
-            return seg_loss + adv_loss + pl_loss, aux
+            if classmix:
+                # DACS: the lambda_pl CE moves to the mixed batch (one
+                # extra forward at target resolution)
+                mix_out, bs_last = _apply_gen(gen_state, gen_params, bs2,
+                                              mix_images)
+                pl_loss = lambda_pl * segmentation_loss(
+                    mix_out, mix_labels, ignore_index) * inv_iters
+            else:
+                bs_last = bs2
+                pl_loss = lambda_pl * segmentation_loss(
+                    tgt_out, pl, ignore_index) * inv_iters
+            total = seg_loss + adv_loss + pl_loss
+            ent_loss = None
+            if lambda_ent:
+                # MinEnt on target predictions, v1-normalized
+                ent_loss = lambda_ent * entropy_loss(tgt_main) * inv_iters
+                total = total + ent_loss
+            aux = (bs_last, src_out[0], tgt_main, seg_loss, adv_loss,
+                   pl_loss, ent_loss)
+            return total, aux
 
         grads_fn = jax.value_and_grad(gen_loss_fn, has_aux=True)
-        (_, (new_bs, src_main, tgt_main, seg_loss, adv_loss, pl_loss)), \
-            gen_grads = grads_fn(gen_state.params)
+        (_, (new_bs, src_main, tgt_main, seg_loss, adv_loss, pl_loss,
+             ent_loss)), gen_grads = grads_fn(gen_state.params)
         gen_state = gen_state.apply_gradients(grads=gen_grads,
                                               batch_stats=new_bs)
 
@@ -207,6 +304,10 @@ def make_self_training_step(lambda_: float, iterations: int,
             "correct": jnp.sum(preds == src_labels),
             "total": jnp.asarray(src_labels.size, jnp.int32),
         }
+        if ent_loss is not None:
+            metrics["loss_entropy"] = ent_loss
+        if mix_coverage is not None:
+            metrics["mix_coverage"] = mix_coverage
         return gen_state, dis_state, ema_params_new, metrics
 
     if donate:
