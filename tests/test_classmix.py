@@ -124,6 +124,35 @@ def test_classmix_labels_and_images_mix_correctly(key, rng):
     assert np.array_equal(mix_lbl[~m], np.asarray(pl)[~m])
 
 
+def test_composed_step_on_8_device_mesh(key, rng):
+    """The fully-composed step (adversarial + pseudo-label + ClassMix +
+    FDA + MinEnt) jits and executes with batch-sharded inputs on the
+    8-virtual-device mesh; per-batch metrics match single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rtsds_tpu.parallel.mesh import make_mesh
+
+    src, lbl, tgt = _da_batch(rng, src_hw=(8, 8), tgt_hw=(8, 8))
+    src = jnp.tile(src, (4, 1, 1, 1))
+    lbl = jnp.tile(lbl, (4, 1, 1))
+    tgt = jnp.tile(tgt, (4, 1, 1, 1))
+    gen_state, dis_state, ema, _ = _st_setup(key)
+    step = make_self_training_step(lambda_=0.1, iterations=4, threshold=0.5,
+                                   donate=False, classmix=True,
+                                   lambda_ent=0.01, fda_beta=0.2)
+    _, _, _, m_flat = step(gen_state, dis_state, ema, src, lbl, tgt)
+
+    mesh = make_mesh(batch_size=8)
+    sh = NamedSharding(mesh, P("data"))
+    _, _, _, m_mesh = step(gen_state, dis_state, ema,
+                           jax.device_put(src, sh), jax.device_put(lbl, sh),
+                           jax.device_put(tgt, sh))
+    for k in ("loss_gen_source", "loss_pseudo", "loss_entropy",
+              "pl_coverage", "mix_coverage"):
+        np.testing.assert_allclose(float(m_flat[k]), float(m_mesh[k]),
+                                   rtol=5e-4, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # CLI reachability
 
