@@ -223,6 +223,14 @@ _DEFAULTS: dict = {
             # validation runs on the EMA weights when enabled; the EMA tree
             # is checkpointed as an 'ema' item and restored on resume
             "ema": {"enabled": False, "decay": 0.999},
+            # ours: frozen-teacher knowledge distillation (train/distill.py)
+            "distillation": {
+                "enabled": False,
+                "temperature": 2.0,
+                "alpha": 0.5,
+                "teacher": {"model": "deeplab", "checkpoint_dir": "",
+                            "use_ema": True},
+            },
         },
         "domain_adaptation": {
             "num_classes": 19,
@@ -238,6 +246,22 @@ _DEFAULTS: dict = {
             # ours: mean-teacher EMA of the GENERATOR params; validation
             # runs on the EMA weights when enabled
             "ema": {"enabled": False, "decay": 0.999},
+            # ours: pseudo-label self-training on the EMA mean-teacher
+            # (train/self_training.py; requires ema.enabled)
+            "self_training": {
+                "enabled": False,
+                "threshold": 0.9,  # scalar or per-class comma list
+                "lambda_pl": 1.0,
+                # CBST quantile calibration of per-class thresholds
+                "calibration": {"enabled": False, "portion": 0.5,
+                                "batches": 8},
+                # DACS ClassMix: mixed-batch pseudo-label CE
+                "classmix": {"enabled": False},
+            },
+            # ours: MinEnt target-entropy minimization (ADVENT)
+            "entropy_min": {"enabled": False, "lambda": 0.005},
+            # ours: FDA low-frequency amplitude restyling (ops/fda.py)
+            "fda": {"enabled": False, "beta": 0.01},
         },
     },
     # ours: validation-time inference protocol (eval/ensemble.py,
@@ -276,6 +300,9 @@ _DEFAULTS: dict = {
             },
         },
         "images_plots": {"save_dir": "images", "number_of_samples": 4},
+        # ours: per-batch/epoch/validation JSONL recorder
+        # (callbacks/history.py); None = disabled
+        "history": None,
     },
     # generalization of the reference's `device: cpu|cuda` (config.yaml:152):
     # platform is resolved by JAX; `mesh` declares parallel axes.
@@ -285,7 +312,7 @@ _DEFAULTS: dict = {
     "compilation_cache": "",
     # data: -1 = all remaining devices; optional `spatial: S` shards image
     # height (huge inputs), `model: M` FSDP-shards params/optimizer state
-    "mesh": {"data": -1},
+    "mesh": {"data": -1, "spatial": 1, "model": 1},
     "precision": {
         # params stay float32; compute dtype for the conv/matmul path
         "compute_dtype": "float32",
@@ -298,11 +325,67 @@ def default_config() -> Config:
     return ConfigNode(copy.deepcopy(_DEFAULTS))
 
 
-def load_config(path: str | None = None, overrides: dict | None = None) -> Config:
+# Paths whose SUB-keys are user-defined (don't lint inside them).
+_FREEFORM = frozenset({
+    "callbacks.logging.wandb",   # forwarded to wandb.init
+    "callbacks.history",         # None-defaulted section
+    "meta",                      # class_names + any user annotations
+})
+
+# Keys that are legitimate but deliberately absent from the defaults:
+# the reference's own config.yaml spells the DeepLab pretrain keys
+# differently from the code that reads them (config.yaml:36-37 vs
+# main.py:206 -- a reference bug we tolerate on input).
+_KNOWN_EXTRAS = frozenset({
+    "model.deeplab.pretrained",
+    "model.deeplab.pretrained_path",
+    # declared in the reference's config.yaml:35 but read by no code
+    # there (the architecture hard-codes dilation 2/4); accepted silently
+    # so the shipped reference config lints clean
+    "model.deeplab.output_stride",
+})
+
+
+def lint_config(user: dict, defaults: dict | None = None,
+                _prefix: str = "") -> list[str]:
+    """Dotted paths of user config keys the schema doesn't know.
+
+    A misspelled key (``enable:`` for ``enabled:``) would otherwise be
+    silently ignored -- the feature just never turns on.  The defaults
+    tree (the full documented schema, reference keys + ours) is the
+    source of truth; sections in :data:`_FREEFORM` accept arbitrary
+    sub-keys.  Returns warnings with a did-you-mean hint; never raises.
+    """
+    import difflib
+
+    defaults = _DEFAULTS if defaults is None else defaults
+    problems: list[str] = []
+    for key, value in user.items():
+        path = f"{_prefix}{key}"
+        if path in _KNOWN_EXTRAS:
+            continue
+        if key not in defaults:
+            hint = difflib.get_close_matches(
+                str(key), [str(k) for k in defaults], n=1)
+            problems.append(
+                path + (f" (did you mean {hint[0]!r}?)" if hint else ""))
+            continue
+        if path in _FREEFORM:
+            continue
+        dflt = defaults[key]
+        if isinstance(value, dict) and isinstance(dflt, dict):
+            problems.extend(lint_config(value, dflt, _prefix=path + "."))
+    return problems
+
+
+def load_config(path: str | None = None, overrides: dict | None = None,
+                lint: bool = True) -> Config:
     """Load a reference-schema YAML config, merged over our defaults.
 
     Unknown keys pass through untouched so user configs written for the
-    reference's ``config.yaml`` work unmodified.
+    reference's ``config.yaml`` work unmodified -- but each one prints a
+    ``config warning:`` line (see :func:`lint_config`), because an
+    unknown key is usually a typo'd feature switch doing nothing.
     """
     data = copy.deepcopy(_DEFAULTS)
     if path is not None:
@@ -313,6 +396,9 @@ def load_config(path: str | None = None, overrides: dict | None = None) -> Confi
             raise FileNotFoundError(
                 "Config file not found. Please provide the correct path to "
                 f"the config file. (got: {path})")
+        if lint:
+            for problem in lint_config(user):
+                print(f"config warning: unknown key {problem}")
         data = _deep_merge(data, user)
     if overrides:
         data = _deep_merge(data, overrides)

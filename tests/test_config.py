@@ -78,3 +78,50 @@ def test_null_callback_section_disables_it(tmp_path):
                                 {"save_dir": str(tmp_path / "ck"),
                                  "save_name": "m"}}), use_wandb=False)
     assert checkpoint2 is not None
+
+
+def test_lint_flags_typoed_feature_switch():
+    """The classic silent footgun: `enable:` instead of `enabled:` would
+    leave the feature off with no error -- the linter must name it with
+    a did-you-mean hint."""
+    from rtsds_tpu.config import lint_config
+
+    problems = lint_config({
+        "training": {"domain_adaptation": {
+            "entropy_min": {"enable": True}}}})
+    assert len(problems) == 1
+    assert "training.domain_adaptation.entropy_min.enable" in problems[0]
+    assert "did you mean 'enabled'" in problems[0]
+
+
+def test_lint_clean_configs():
+    import yaml
+
+    from rtsds_tpu.config import lint_config
+
+    # our shipped config and the ACTUAL reference config both lint clean
+    for path in ("configs/config.yaml", "/root/reference/config.yaml"):
+        user = yaml.safe_load(open(path))
+        assert lint_config(user) == [], path
+
+
+def test_lint_allows_freeform_and_null_sections():
+    from rtsds_tpu.config import lint_config
+
+    assert lint_config({"callbacks": {
+        "logging": {"wandb": {"anything": 1, "entity": "me"}},
+        "history": {"path": "h.jsonl"},
+        "model_checkpoint": None,  # null-disable
+    }}) == []
+
+
+def test_load_config_prints_warning_for_unknown_key(tmp_path, capsys):
+    import yaml
+
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump({
+        "training": {"segmentation": {"epohcs": 3}}}))
+    load_config(str(p))
+    out = capsys.readouterr().out
+    assert "config warning: unknown key training.segmentation.epohcs" in out
+    assert "did you mean 'epochs'" in out
