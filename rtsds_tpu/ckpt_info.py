@@ -26,6 +26,11 @@ def describe_checkpoint(save_dir: str) -> dict:
     """
     from rtsds_tpu.callbacks.checkpoint import CheckpointManager
 
+    # inspection must not create directories (CheckpointManager's ctor
+    # makedirs its save_dir)
+    if not os.path.isdir(save_dir):
+        return {"steps": [], "best_step": None, "latest_step": None,
+                "emergency_step": None}
     mgr = CheckpointManager(save_dir)
     try:
         steps = sorted(int(s) for s in mgr.all_steps())
