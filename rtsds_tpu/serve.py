@@ -344,6 +344,12 @@ def main(argv=None):
                              "model code + checkpoint")
     parser.add_argument("--compilation_cache", default=None, metavar="DIR",
                         help="persistent XLA compile cache directory")
+    parser.add_argument("--mesh", type=str, default=None,
+                        choices=["batch", "spatial"],
+                        help="serve across ALL visible chips: 'batch' "
+                             "shards frames over chips (throughput, "
+                             "bit-exact vs single device), 'spatial' "
+                             "shards image height (single-frame latency)")
     args = parser.parse_args(argv)
 
     if args.compilation_cache:
@@ -358,6 +364,9 @@ def main(argv=None):
         parser.error("--protocol is baked into an artifact at export time; "
                      "export a protocol-enabled predictor instead of "
                      "passing --protocol with --artifact")
+    if args.mesh and (args.artifact or args.export):
+        parser.error("--mesh is live multi-chip serving; AOT artifacts "
+                     "are single-device programs (export without --mesh)")
     if not args.images and not args.export:
         parser.error("no input images given")
 
@@ -378,6 +387,15 @@ def main(argv=None):
                       correct_preprocessing=args.correct_preprocessing,
                       protocol=args.protocol,
                       protocol_kwargs=protocol_kwargs)
+        if args.mesh:
+            from rtsds_tpu.parallel.mesh import make_mesh
+
+            # batch mode trims the mesh to divide the batch; spatial
+            # mode bands image height over every chip
+            kwargs["mesh"] = make_mesh(
+                batch_size=kwargs["batch_size"] if args.mesh == "batch"
+                else None)
+            kwargs["sharding"] = args.mesh
         if args.checkpoint:
             predictor = Predictor.from_checkpoint(args.checkpoint, **kwargs)
         else:

@@ -255,6 +255,11 @@ def main(argv=None):
                         help='sliding window "H, W"')
     parser.add_argument("--stride", default="",
                         help='sliding stride "H, W" (default 3/4 window)')
+    parser.add_argument("--mesh", default=None, choices=["batch", "spatial"],
+                        help="serve across ALL visible chips: 'batch' "
+                             "shards each micro-batch over chips "
+                             "(throughput), 'spatial' shards image height "
+                             "(single-frame latency)")
     parser.add_argument("--compilation_cache", default=None, metavar="DIR",
                         help="persistent XLA compile cache: restarted "
                              "servers skip the minutes-long first compile")
@@ -266,6 +271,9 @@ def main(argv=None):
         enable_compilation_cache(args.compilation_cache)
 
     if args.artifact:
+        if args.mesh:
+            parser.error("--mesh is live multi-chip serving; AOT artifacts "
+                         "are single-device programs")
         from rtsds_tpu.serve_export import load_predictor
 
         predictor = load_predictor(args.artifact)
@@ -283,6 +291,12 @@ def main(argv=None):
                       batch_size=args.batch, backbone=args.backbone,
                       protocol=args.protocol,
                       protocol_kwargs=protocol_kwargs)
+        if args.mesh:
+            from rtsds_tpu.parallel.mesh import make_mesh
+
+            kwargs["mesh"] = make_mesh(
+                batch_size=args.batch if args.mesh == "batch" else None)
+            kwargs["sharding"] = args.mesh
         if args.checkpoint:
             predictor = Predictor.from_checkpoint(args.checkpoint, **kwargs)
         else:

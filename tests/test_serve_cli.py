@@ -77,3 +77,50 @@ def test_serve_cli_protocol_flags(tmp_path):
                 "--protocol", "sliding", "--window", "32, 32",
                 "--stride", "16, 32"])
     assert np.asarray(Image.open(out / "f_mask.png")).shape == (32, 64)
+
+
+def test_serve_cli_mesh_modes(tmp_path):
+    """--mesh batch|spatial serve across the 8 virtual devices from the
+    CLI; masks land as usual."""
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(8):  # batch 8 shards the full 8-device mesh
+        img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+        p = tmp_path / f"f{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+
+    out = tmp_path / "mesh_out"
+    serve.main([*paths, "--size", "32, 64", "--out", str(out),
+                "--mesh", "batch"])
+    masks_mesh = [np.asarray(Image.open(out / f"f{i}_mask.png"))
+                  for i in range(8)]
+    out2 = tmp_path / "flat_out"
+    serve.main([*paths, "--size", "32, 64", "--out", str(out2)])
+    # the CLI serves bf16, where sharded reduction order can flip argmax
+    # ties (random init + noise inputs = near-uniform logits, ties
+    # everywhere; the f32 bit-exactness check lives in
+    # test_serve.py) -- demand near-total agreement, not identity
+    for i in range(8):
+        flat = np.asarray(Image.open(out2 / f"f{i}_mask.png"))
+        agree = (masks_mesh[i] == flat).mean()
+        assert agree > 0.95, (i, agree)
+
+    out3 = tmp_path / "spatial_out"
+    serve.main([paths[0], "--size", "32, 64", "--out", str(out3),
+                "--mesh", "spatial"])
+    sp = np.asarray(Image.open(out3 / "f0_mask.png"))
+    assert sp.shape == (32, 64) and sp.max() < 19
+
+
+def test_serve_cli_mesh_rejects_aot(tmp_path):
+    import pytest
+
+    rng = np.random.default_rng(2)
+    p = tmp_path / "x.png"
+    Image.fromarray(rng.integers(0, 256, size=(32, 64, 3),
+                                 dtype=np.uint8)).save(p)
+    with pytest.raises(SystemExit):
+        serve.main([str(p), "--mesh", "batch", "--artifact", "a.rtsds"])
+    with pytest.raises(SystemExit):
+        serve.main(["--mesh", "batch", "--export", str(tmp_path / "a.r")])

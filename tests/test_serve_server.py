@@ -179,3 +179,79 @@ def test_microbatcher_with_real_predictor():
         np.testing.assert_array_equal(masks, pred.predict(frames))
     finally:
         mb.close()
+
+def test_server_main_mesh_batch(tmp_path, monkeypatch):
+    """--mesh batch reaches Predictor through serve_server.main: the
+    warmup predict fans over the 8-device mesh, then one real request
+    round-trips (serve_forever stubbed to a single handle_request)."""
+    import threading
+    import urllib.request
+
+    from rtsds_tpu import serve_server
+
+    served = {}
+    real_make = serve_server.make_http_server
+
+    def one_shot_make(batcher, host, port, colored=False):
+        import time
+
+        server = real_make(batcher, host=host, port=0, colored=colored)
+
+        def one_request_then_drain():
+            # ThreadingHTTPServer.handle_request returns once the handler
+            # THREAD starts; wait for the client to actually receive its
+            # response before main proceeds to batcher.close()
+            server.handle_request()
+            for _ in range(600):
+                if "status" in served or "error" in served:
+                    return
+                time.sleep(0.1)
+
+        server.serve_forever = one_request_then_drain
+        server.shutdown = lambda: None  # not inside the real loop
+        served["server"] = server
+        return server
+
+    monkeypatch.setattr(serve_server, "make_http_server", one_shot_make)
+
+    def post():
+        import io
+        import time
+
+        import numpy as np
+        from PIL import Image
+
+        for _ in range(600):  # wait until main built + bound the server
+            if "server" in served:
+                break
+            time.sleep(0.1)
+        port = served["server"].server_address[1]
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((16, 32, 3), np.uint8)).save(buf, "PNG")
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+                    timeout=120) as r:
+                body = r.read()  # read BEFORE recording status: 'status'
+                served["body"] = body  # in served releases the server
+                served["status"] = r.status
+        except Exception as e:  # surfaced by the final assert
+            served["error"] = repr(e)
+
+    t = threading.Thread(target=post, daemon=True)
+    t.start()
+    serve_server.main(["--host", "127.0.0.1", "--port", "0",
+                       "--size", "16, 32", "--batch", "8",
+                       "--mesh", "batch"])
+    t.join(timeout=120)
+    assert "error" not in served, served["error"]
+    assert served.get("status") == 200 and served.get("body")
+
+
+def test_server_main_mesh_rejects_artifact():
+    import pytest
+
+    from rtsds_tpu import serve_server
+
+    with pytest.raises(SystemExit):
+        serve_server.main(["--artifact", "x.rtsds", "--mesh", "batch"])
