@@ -53,8 +53,13 @@ class MicroBatcher:
         self.max_wait = max(float(max_wait_ms), 0.0) / 1e3
         self._queue: queue.Queue = queue.Queue()
         self._closed = threading.Event()
-        # observability: recent coalesced batch sizes (bounded)
+        # observability: recent coalesced batch sizes + request latencies
+        # (bounded deques; counters are monotonic)
         self.batch_sizes = collections.deque(maxlen=1024)
+        self.latencies = collections.deque(maxlen=4096)
+        self._requests = 0
+        self._errors = 0
+        self._batches = 0
         self._thread = threading.Thread(target=self._collector, daemon=True)
         self._thread.start()
 
@@ -74,7 +79,8 @@ class MicroBatcher:
                 f"predictor compiled for {tuple(expected)}, got "
                 f"{frame.shape[:2]}")
         fut: Future = Future()
-        self._queue.put((frame, fut))
+        self._requests += 1
+        self._queue.put((frame, fut, time.monotonic()))
         if self._closed.is_set():
             # close() may have drained the queue between our check and the
             # put -- sweep again so this future can never be stranded
@@ -123,28 +129,32 @@ class MicroBatcher:
                     continue
                 # claim the futures: a client cancel after this point can
                 # no longer race the result delivery
-                claimed = [(frame, fut) for frame, fut in batch
+                claimed = [(frame, fut, t0) for frame, fut, t0 in batch
                            if fut.set_running_or_notify_cancel()]
                 if not claimed:
                     continue
-                futures = [fut for _, fut in claimed]
-                frames = np.stack([frame for frame, _ in claimed])
+                futures = [fut for _, fut, _ in claimed]
+                frames = np.stack([frame for frame, _, _ in claimed])
                 self.batch_sizes.append(len(claimed))
+                self._batches += 1
                 n = frames.shape[0]
                 if self.pad_to_max and n < self.max_batch:
                     pad = np.zeros((self.max_batch - n, *frames.shape[1:]),
                                    np.uint8)
                     frames = np.concatenate([frames, pad])
                 masks = self.predictor.predict(frames)[:n]
-                for fut, mask in zip(futures, masks):
+                done = time.monotonic()
+                for (_, fut, t0), mask in zip(claimed, masks):
                     try:
                         fut.set_result(np.asarray(mask))
+                        self.latencies.append(done - t0)
                     except Exception:
                         pass  # client cancelled mid-flight
             except Exception as e:
                 # the collector thread must survive anything (a dead
                 # collector strands every future forever); the failed
                 # batch's clients get the error
+                self._errors += len(futures)
                 self._fail(futures, e)
                 continue
 
@@ -157,6 +167,28 @@ class MicroBatcher:
                 return
             if item is not None and item[1].set_running_or_notify_cancel():
                 item[1].set_exception(RuntimeError("MicroBatcher is closed"))
+
+    def stats(self) -> dict:
+        """Serving statistics snapshot (for ``GET /stats`` / monitoring):
+        monotonic request/batch/error counters plus recent-window mean
+        coalesced batch size and p50/p99 end-to-end request latency."""
+        lat = sorted(self.latencies)
+        sizes = list(self.batch_sizes)
+
+        def pct(p):
+            return (round(lat[min(int(len(lat) * p), len(lat) - 1)] * 1e3, 3)
+                    if lat else None)
+
+        return {
+            "requests": self._requests,
+            "batches": self._batches,
+            "errors": self._errors,
+            "max_batch": self.max_batch,
+            "mean_batch_size": (round(sum(sizes) / len(sizes), 2)
+                                if sizes else None),
+            "latency_p50_ms": pct(0.50),
+            "latency_p99_ms": pct(0.99),
+        }
 
     def close(self):
         """Stop the collector; pending/late requests fail fast."""
@@ -185,6 +217,15 @@ def make_http_server(batcher: MicroBatcher, host: str = "127.0.0.1",
             if self.path == "/healthz":
                 body = b"ok"
                 self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/stats":
+                import json
+
+                body = json.dumps(batcher.stats()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -314,6 +355,7 @@ def main(argv=None):
                            max_wait_ms=args.max_wait_ms)
     server = make_http_server(batcher, host=args.host, port=args.port,
                               colored=args.colored)
+    restore_sigterm = _install_graceful_shutdown(server)
     print(f"serving on http://{args.host}:{args.port}/predict "
           f"(micro-batch <= {max_batch}, wait {args.max_wait_ms} ms)")
     try:
@@ -323,6 +365,29 @@ def main(argv=None):
     finally:
         server.shutdown()
         batcher.close()
+        restore_sigterm()
+
+
+def _install_graceful_shutdown(server):
+    """SIGTERM -> stop accepting, drain in-flight requests, exit 0 (the
+    serving analog of training's ``utils/preemption.py``).  The handler
+    must call ``shutdown()`` from ANOTHER thread: signals are delivered
+    on the main thread, which is inside ``serve_forever`` -- a same-
+    thread shutdown() deadlocks.  Returns a restore function; no-op when
+    not on the main thread (e.g. under a test runner)."""
+    import signal
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        return lambda: None
+
+    def handler(signum, frame):
+        print("serve_server: SIGTERM -- draining in-flight requests "
+              "and shutting down")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    previous = signal.signal(signal.SIGTERM, handler)
+    return lambda: signal.signal(signal.SIGTERM, previous)
 
 
 if __name__ == "__main__":

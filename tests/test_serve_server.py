@@ -255,3 +255,84 @@ def test_server_main_mesh_rejects_artifact():
 
     with pytest.raises(SystemExit):
         serve_server.main(["--artifact", "x.rtsds", "--mesh", "batch"])
+
+
+def test_stats_counters_and_latency():
+    from rtsds_tpu.serve_server import MicroBatcher
+
+    mb = MicroBatcher(_FakePredictor(), max_wait_ms=1.0)
+    try:
+        futs = [mb.submit(_frame(i)) for i in range(6)]
+        for f in futs:
+            f.result(timeout=10)
+        s = mb.stats()
+        assert s["requests"] == 6
+        assert s["batches"] >= 2  # max_batch 4 -> at least two batches
+        assert s["errors"] == 0
+        assert s["max_batch"] == 4
+        assert 1 <= s["mean_batch_size"] <= 4
+        assert s["latency_p50_ms"] is not None
+        assert 0 < s["latency_p50_ms"] <= s["latency_p99_ms"] + 1e-9
+    finally:
+        mb.close()
+
+    # errors counted
+    mb = MicroBatcher(_FakePredictor(fail=True), max_wait_ms=0.0)
+    try:
+        fut = mb.submit(_frame(1))
+        with pytest.raises(RuntimeError):
+            fut.result(timeout=10)
+        assert mb.stats()["errors"] == 1
+    finally:
+        mb.close()
+
+
+def test_http_stats_endpoint():
+    import json
+
+    from rtsds_tpu.serve_server import MicroBatcher, make_http_server
+
+    mb = MicroBatcher(_FakePredictor(), max_wait_ms=0.0)
+    server = make_http_server(mb, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(_frame(3)).save(buf, format="PNG")
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/predict",
+                               data=buf.getvalue(), timeout=10).read()
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] == 1 and stats["errors"] == 0
+        assert stats["latency_p50_ms"] is not None
+    finally:
+        server.shutdown()
+        mb.close()
+
+
+def test_sigterm_graceful_shutdown():
+    """SIGTERM triggers server.shutdown() from another thread and the
+    previous handler is restored afterwards."""
+    import os
+    import signal
+
+    from rtsds_tpu.serve_server import _install_graceful_shutdown
+
+    done = threading.Event()
+
+    class FakeServer:
+        def shutdown(self):
+            done.set()
+
+    previous = signal.getsignal(signal.SIGTERM)
+    restore = _install_graceful_shutdown(FakeServer())
+    try:
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert done.wait(timeout=10)
+    finally:
+        restore()
+    assert signal.getsignal(signal.SIGTERM) is previous
