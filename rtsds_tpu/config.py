@@ -174,7 +174,7 @@ _DEFAULTS: dict = {
             "pretrain": False,
             "pretrain_model_path": "",
             "power_lr_factor": 0.9,
-            "optimizer": {"name": "Adam", "lr": 0.0001},
+            "optimizer": {"name": "Adam", "lr": 0.0001, "grad_clip": 0.0},
             "criterion": {"name": "CrossEntropy", "ignore_index": 19},
         },
         "bisenet": {
@@ -183,14 +183,14 @@ _DEFAULTS: dict = {
             "pretrained": False,
             "pretrain_model_path": "",
             "power_lr_factor": 0.9,
-            "optimizer": {"name": "Adam", "lr": 0.0001},
+            "optimizer": {"name": "Adam", "lr": 0.0001, "grad_clip": 0.0},
             "criterion": {"name": "CrossEntropy", "ignore_index": 19},
         },
         "adversarial_model": {
             "generator": {
                 "name": "bisenet",
                 "power_lr_factor": 0.9,
-                "optimizer": {"name": "Adam", "lr": 0.0001},
+                "optimizer": {"name": "Adam", "lr": 0.0001, "grad_clip": 0.0},
                 "criterion": {"name": "CrossEntropy", "ignore_index": 19},
             },
             "discriminator": {
@@ -201,6 +201,7 @@ _DEFAULTS: dict = {
                     "name": "Adam",
                     "lr": 0.0001,
                     "weight_decay": 0.0001,
+                    "grad_clip": 0.0,
                 },
                 "criterion": {"name": "BCEWithLogits"},
             },

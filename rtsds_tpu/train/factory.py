@@ -108,6 +108,7 @@ def _make_tx(opt_cfg, schedule, frozen_mask_fn, model, dtype):
         weight_decay=float(opt_cfg.get("weight_decay", 0.0) or 0.0),
         momentum=float(opt_cfg.get("momentum", 0.9) or 0.9),
         frozen_mask=frozen_mask,
+        grad_clip=float(opt_cfg.get("grad_clip", 0.0) or 0.0),
     )
 
 

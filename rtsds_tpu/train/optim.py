@@ -14,6 +14,9 @@ wired, implemented for real here:
     affine, ``deeplabv2.py:14-27``)
   * ``lr_multipliers``: per-param LR scaling (the 1x/10x split of
     ``deeplabv2.py:171-173``)
+  * ``grad_clip``: global-norm gradient clipping (config
+    ``optimizer.grad_clip``) — standard stabilizer for the adversarial
+    loops; applied before everything else in the chain
 """
 
 from __future__ import annotations
@@ -39,11 +42,16 @@ def _scale_by_tree(multipliers) -> optax.GradientTransformation:
 
 def make_optimizer(name: str, learning_rate: float | Callable,
                    weight_decay: float = 0.0, momentum: float = 0.9,
-                   frozen_mask=None, lr_multipliers=None
+                   frozen_mask=None, lr_multipliers=None,
+                   grad_clip: float = 0.0
                    ) -> optax.GradientTransformation:
     parts: list[optax.GradientTransformation] = []
     if frozen_mask is not None:
         parts.append(optax.masked(optax.set_to_zero(), frozen_mask))
+    if grad_clip:
+        # after the freeze (frozen params must not inflate the global
+        # norm), before the moment estimators (clip raw gradients)
+        parts.append(optax.clip_by_global_norm(float(grad_clip)))
     if name == "Adam":
         if weight_decay:
             parts.append(optax.add_decayed_weights(weight_decay))
@@ -66,4 +74,5 @@ def optimizer_from_config(opt_cfg, schedule) -> optax.GradientTransformation:
         learning_rate=schedule if schedule is not None else opt_cfg["lr"],
         weight_decay=float(opt_cfg.get("weight_decay", 0.0) or 0.0),
         momentum=float(opt_cfg.get("momentum", 0.9) or 0.9),
+        grad_clip=float(opt_cfg.get("grad_clip", 0.0) or 0.0),
     )

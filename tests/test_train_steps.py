@@ -206,3 +206,43 @@ def test_adversarial_v2_step(key, rng):
     np.testing.assert_allclose(float(metrics["lambda_adv"]), 1.0, rtol=1e-6)
     for k in ("loss_gen_total", "loss_disc_total"):
         assert np.isfinite(float(metrics[k]))
+
+
+def test_grad_clip_bounds_the_update():
+    """optimizer.grad_clip caps the global gradient norm before the
+    moment estimators; an exploding gradient produces a bounded SGD
+    update, and small gradients pass through untouched."""
+    import optax
+
+    params = {"w": jnp.zeros((4,))}
+    big = {"w": jnp.full((4,), 100.0)}
+    tx = make_optimizer("SGD", 1.0, momentum=0.0, grad_clip=1.0)
+    updates, _ = tx.update(big, tx.init(params), params)
+    np.testing.assert_allclose(
+        float(optax.global_norm(updates)), 1.0, rtol=1e-6)
+    small = {"w": jnp.full((4,), 0.001)}
+    updates, _ = tx.update(small, tx.init(params), params)
+    np.testing.assert_allclose(np.asarray(updates["w"]),
+                               -np.asarray(small["w"]), rtol=1e-6)
+    # grad_clip=0 disables clipping entirely
+    tx0 = make_optimizer("SGD", 1.0, momentum=0.0, grad_clip=0.0)
+    updates, _ = tx0.update(big, tx0.init(params), params)
+    np.testing.assert_allclose(np.asarray(updates["w"]),
+                               -np.asarray(big["w"]), rtol=1e-6)
+
+
+def test_grad_clip_from_config():
+    """optimizer.grad_clip reaches the transformation through
+    optimizer_from_config (the factory path)."""
+    import optax
+
+    from rtsds_tpu.train.optim import optimizer_from_config
+
+    tx = optimizer_from_config(
+        {"name": "SGD", "lr": 1.0, "momentum": 0.0, "grad_clip": 0.5},
+        schedule=None)
+    params = {"w": jnp.full((3,), 0.0)}
+    updates, _ = tx.update({"w": jnp.full((3,), 10.0)}, tx.init(params),
+                           params)
+    np.testing.assert_allclose(float(optax.global_norm(updates)), 0.5,
+                               rtol=1e-6)
