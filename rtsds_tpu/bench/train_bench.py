@@ -34,7 +34,8 @@ def supervised_step_benchmark(model_name: str = "bisenet",
                               steps: int = 5, repeats: int = 3,
                               dtype=jnp.bfloat16,
                               backbone: str = "resnet18",
-                              distill_teacher: str | None = None) -> dict:
+                              distill_teacher: str | None = None,
+                              grad_clip: float = 0.0) -> dict:
     from rtsds_tpu.train.optim import make_optimizer
     from rtsds_tpu.train.state import create_train_state
     from rtsds_tpu.train.supervised import make_train_step
@@ -56,7 +57,8 @@ def supervised_step_benchmark(model_name: str = "bisenet",
     key = jax.random.key(0)
     x = jax.random.normal(key, (batch_size, *image_size, 3), jnp.float32)
     labels = jnp.zeros((batch_size, *image_size), jnp.int32)
-    tx = make_optimizer("Adam", poly_lr_schedule(1e-4, 5000, 0.9))
+    tx = make_optimizer("Adam", poly_lr_schedule(1e-4, 5000, 0.9),
+                        grad_clip=grad_clip)
     state = create_train_state(model, key, jnp.zeros_like(x), tx)
 
     if distill_teacher:
@@ -111,10 +113,12 @@ def main():
     steps = int(os.environ.get("TRAIN_STEPS", "5"))
     backbone = os.environ.get("TRAIN_BACKBONE", "resnet18")
     distill = os.environ.get("TRAIN_DISTILL") or None
+    grad_clip = float(os.environ.get("TRAIN_GRAD_CLIP", "0"))
     stats = supervised_step_benchmark(model, batch_size=batch,
                                       image_size=size, steps=steps,
                                       backbone=backbone,
-                                      distill_teacher=distill)
+                                      distill_teacher=distill,
+                                      grad_clip=grad_clip)
     name = (f"{model}_distill_from_{distill}_train_step" if distill
             else f"{model}_supervised_train_step")
     print(json.dumps({"metric": name,
