@@ -344,6 +344,11 @@ _KNOWN_EXTRAS = frozenset({
     # there (the architecture hard-codes dilation 2/4); accepted silently
     # so the shipped reference config lints clean
     "model.deeplab.output_stride",
+    # presence-enabled augmentations (the reference convention:
+    # ColorJitter is commented out in its config); listing them in the
+    # defaults would switch them on for everyone
+    "augmentation.ColorJitter",
+    "augmentation.RandomZoom",
 })
 
 

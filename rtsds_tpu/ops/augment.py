@@ -34,6 +34,11 @@ class AugmentConfig:
     flip_p: float | None = 0.5
     color_jitter: tuple[float, float, float, float] | None = None  # b, c, s, h
     flip_labels: bool = True
+    # (ours) random zoom-in: crop a 1/s window at a random position and
+    # resample to full size (RandomResizedCrop with the aspect fixed) --
+    # shape-static via jax.image.scale_and_translate, s in [1, zoom_max]
+    zoom_max: float | None = None
+    zoom_p: float = 0.5
 
     @classmethod
     def from_config(cls, config) -> "AugmentConfig":
@@ -53,9 +58,14 @@ class AugmentConfig:
             c = aug["ColorJitter"]
             cj = (float(c.get("brightness", 0)), float(c.get("contrast", 0)),
                   float(c.get("saturation", 0)), float(c.get("hue", 0)))
+        zoom_max, zoom_p = None, 0.5
+        if "RandomZoom" in aug:
+            z = aug["RandomZoom"]
+            zoom_max = float(z.get("max", 1.5))
+            zoom_p = float(z.get("p", 0.5))
         return cls(apply_p=float(aug.get("p", 0.5)), blur_kernel=blur_kernel,
                    blur_sigma=blur_sigma or (0.1, 5.0), flip_p=flip_p,
-                   color_jitter=cj)
+                   color_jitter=cj, zoom_max=zoom_max, zoom_p=zoom_p)
 
 
 def _color_jitter(key, img, strength):
@@ -102,6 +112,39 @@ def _hue_shift(img, shift):
     ], axis=-1)
 
 
+def _random_zoom(key, image, label, gate, zoom_max: float, zoom_p: float):
+    """Zoom into a random 1/s-sized window (s ~ U[1, zoom_max]) of the
+    whole batch and resample back to full resolution — image bilinear,
+    label nearest, SAME geometry for both so pixel correspondence holds.
+
+    Shape-static: ``jax.image.scale_and_translate`` maps output coords x
+    to input coords ``(x - t) / s``; with s >= 1 and
+    ``t in [-(s-1)*dim, 0]`` every sample stays in-bounds (no padding,
+    so no fill-value semantics for labels).
+    """
+    ks, kp, ky, kx = jax.random.split(key, 4)
+    s = jax.random.uniform(ks, (), minval=1.0, maxval=float(zoom_max))
+    do = (jax.random.uniform(kp, ()) < zoom_p) & gate
+    h, w = image.shape[-3], image.shape[-2]
+    ty = -jax.random.uniform(ky, ()) * (s - 1.0) * h
+    tx = -jax.random.uniform(kx, ()) * (s - 1.0) * w
+    scale = jnp.stack([s, s])
+    trans = jnp.stack([ty, tx])
+    zoom_img = jax.image.scale_and_translate(
+        image, image.shape, (1, 2), scale, trans, method="linear")
+    # nearest label resampling with scale_and_translate's pixel-center
+    # convention (out center x+0.5 samples input coord (x+0.5-t)/s);
+    # scale_and_translate itself rejects method="nearest"
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    src_y = jnp.clip(jnp.floor((ys + 0.5 - ty) / s), 0, h - 1)
+    src_x = jnp.clip(jnp.floor((xs + 0.5 - tx) / s), 0, w - 1)
+    zoom_lbl = label[:, src_y.astype(jnp.int32)[:, None],
+                     src_x.astype(jnp.int32)[None, :]]
+    return (jnp.where(do, zoom_img, image),
+            jnp.where(do, zoom_lbl, label))
+
+
 def make_augment_fn(cfg: AugmentConfig) -> Callable:
     """Build ``augment(key, image, label) -> (image, label)``.
 
@@ -112,11 +155,14 @@ def make_augment_fn(cfg: AugmentConfig) -> Callable:
     """
 
     def augment(key, image, label):
-        k_gate, k_blur, k_flip, k_cj = jax.random.split(key, 4)
+        k_gate, k_blur, k_flip, k_cj, k_zoom = jax.random.split(key, 5)
         gate = jax.random.uniform(k_gate, ()) < cfg.apply_p
 
         img_aug = image
         lbl_aug = label
+        if cfg.zoom_max is not None and cfg.zoom_max > 1.0:
+            img_aug, lbl_aug = _random_zoom(
+                k_zoom, img_aug, lbl_aug, gate, cfg.zoom_max, cfg.zoom_p)
         if cfg.blur_kernel is not None:
             lo, hi = cfg.blur_sigma
             sigma = jax.random.uniform(k_blur, (), minval=lo, maxval=hi)
