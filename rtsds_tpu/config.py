@@ -212,6 +212,8 @@ _DEFAULTS: dict = {
             "num_classes": 19,
             "lambda": 0.1,
             "lr_decay_iter": 1,
+            # ours: linear LR warmup over the first N steps (0 = off)
+            "warmup_iters": 0,
             "epochs": 50,
             "do_validation": 1,
             "when_print": -1,
@@ -238,6 +240,8 @@ _DEFAULTS: dict = {
             "iterations": 100,
             "lambda": 0.1,
             "lr_decay_iter": 1,
+            # ours: linear LR warmup (both G and D schedules; 0 = off)
+            "warmup_iters": 0,
             "epochs": 50,
             "do_validation": 1,
             "when_print": -1,

@@ -25,7 +25,8 @@ from rtsds_tpu.models.pretrained import (
 from rtsds_tpu.ops.losses import make_criterion
 from rtsds_tpu.train.optim import make_optimizer
 from rtsds_tpu.train.state import TrainState, create_train_state
-from rtsds_tpu.utils.schedules import poly_epoch_schedule, poly_lr_schedule
+from rtsds_tpu.utils.schedules import poly_epoch_schedule, \
+    poly_lr_schedule, with_warmup
 
 
 @dataclasses.dataclass
@@ -52,7 +53,8 @@ def _dtype_from_config(config):
 
 
 def _build_segmentor(config, model_name: str, max_iter: int,
-                     lr_decay_iter: int, dtype=None):
+                     lr_decay_iter: int, dtype=None,
+                     warmup_iters: int = 0):
     model_cfg = config.model
     if model_name == "bisenet":
         cfg = model_cfg.get("bisenet")
@@ -84,7 +86,9 @@ def _build_segmentor(config, model_name: str, max_iter: int,
 
     init_lr = float(cfg["optimizer"]["lr"])
     power = float(cfg.get("power_lr_factor", 0.9))
-    schedule = poly_lr_schedule(init_lr, max_iter, power, lr_decay_iter)
+    schedule = with_warmup(
+        poly_lr_schedule(init_lr, max_iter, power, lr_decay_iter),
+        warmup_iters)
 
     frozen_mask_fn = None
     if frozen == "deeplab":
@@ -121,7 +125,8 @@ def build_supervised(config, model_name: str, steps_per_epoch: int):
     max_iter = int(tcfg["epochs"]) * int(steps_per_epoch)
     return _build_segmentor(config, model_name, max_iter,
                             int(tcfg["lr_decay_iter"]),
-                            dtype=_dtype_from_config(config))
+                            dtype=_dtype_from_config(config),
+                            warmup_iters=int(tcfg.get("warmup_iters", 0)))
 
 
 def build_adversarial(config):
@@ -149,10 +154,12 @@ def build_adversarial(config):
     if bis.get("pretrained", False) and path:
         gen_pre = load_backbone_pretrained(path)
         gen_sub = "context_path"
+    warmup = int(tcfg.get("warmup_iters", 0))
     gen_lr = float(gen_cfg["optimizer"]["lr"])
     gen_power = float(gen_cfg["power_lr_factor"])
-    gen_sched = poly_lr_schedule(gen_lr, epochs * iterations, gen_power,
-                                 lr_decay_iter)
+    gen_sched = with_warmup(
+        poly_lr_schedule(gen_lr, epochs * iterations, gen_power,
+                         lr_decay_iter), warmup)
     gen_tx = _make_tx(gen_cfg["optimizer"], gen_sched, None, generator, dtype)
     gen_bundle = ModelBundle(
         generator, gen_tx, make_criterion(gen_cfg["criterion"]),
@@ -168,7 +175,8 @@ def build_adversarial(config):
         raise ValueError(f"unknown discriminator {dis_cfg['name']!r}")
     dis_lr = float(dis_cfg["optimizer"]["lr"])
     dis_power = float(dis_cfg["power_lr_factor"])
-    dis_sched = poly_epoch_schedule(dis_lr, epochs, dis_power, iterations)
+    dis_sched = with_warmup(
+        poly_epoch_schedule(dis_lr, epochs, dis_power, iterations), warmup)
     dis_tx = _make_tx(dis_cfg["optimizer"], dis_sched, None, discriminator,
                       dtype)
     dis_bundle = ModelBundle(

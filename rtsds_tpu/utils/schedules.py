@@ -53,6 +53,25 @@ def poly_epoch_schedule(init_lr: float, epochs: int, power: float,
     return schedule
 
 
+def with_warmup(schedule, warmup_iters: int):
+    """Linear LR warmup wrapping any schedule (ours; the reference has
+    none): the base schedule is scaled by ``min((step+1)/warmup, 1)``,
+    so step 0 trains at ``base/warmup`` and the ramp finishes at
+    ``warmup_iters``.  ``warmup_iters <= 0`` returns the schedule
+    unchanged.  Config: ``training.*.warmup_iters``.
+    """
+    if int(warmup_iters) <= 0:
+        return schedule
+    w = float(warmup_iters)
+
+    def warmed(step):
+        ramp = jnp.minimum((jnp.asarray(step).astype(jnp.float32) + 1.0) / w,
+                           1.0)
+        return schedule(step) * ramp
+
+    return warmed
+
+
 def lambda_adv_schedule(lambda_: float, iterations_per_epoch: int):
     """Adversarial-weight schedule of the reference's v2 loop:
     ``max(lambda, 10*lambda - 0.001*epoch)`` (``train.py:416``)."""

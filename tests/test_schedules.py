@@ -52,3 +52,57 @@ def test_lambda_adv_schedule():
     # epoch 900: 1.0 - 0.9 = 0.1 -> floor reached
     np.testing.assert_allclose(float(lam(9000)), 0.1, rtol=1e-6)
     np.testing.assert_allclose(float(lam(20000)), 0.1, rtol=1e-6)  # clamped
+
+
+def test_with_warmup_ramp():
+    """Linear warmup scales any base schedule: lr/w at step 0, half at
+    step w/2-1, full at step w-1 and beyond; warmup_iters=0 is a no-op."""
+    import numpy as np
+
+    from rtsds_tpu.utils.schedules import with_warmup
+
+    base = lambda step: 0.1  # constant base isolates the ramp
+    sched = with_warmup(base, 10)
+    np.testing.assert_allclose(float(sched(0)), 0.1 * 1 / 10)
+    np.testing.assert_allclose(float(sched(4)), 0.1 * 5 / 10)
+    np.testing.assert_allclose(float(sched(9)), 0.1)
+    np.testing.assert_allclose(float(sched(100)), 0.1)
+    assert with_warmup(base, 0) is base
+
+
+def test_warmup_reaches_factory_schedules():
+    """training.*.warmup_iters shrinks the first update through the real
+    config -> factory -> optimizer path (both supervised and DA)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtsds_tpu.config import default_config
+    from rtsds_tpu.train.factory import build_adversarial, build_supervised
+
+    def first_update_norm(bundle, example):
+        state = bundle.init_state(jax.random.key(0), example)
+        grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+        new = state.apply_gradients(grads=grads)
+        return float(sum(
+            float(jnp.abs(a - b).sum()) for a, b in
+            zip(jax.tree_util.tree_leaves(state.params),
+                jax.tree_util.tree_leaves(new.params))))
+
+    x = jnp.zeros((1, 16, 32, 3))
+    cfg = default_config()
+    warm = cfg.replace(training={"segmentation": {"warmup_iters": 100},
+                                 "domain_adaptation": {"warmup_iters": 100}})
+    plain_b = build_supervised(cfg, "bisenet", steps_per_epoch=10)
+    warm_b = build_supervised(warm, "bisenet", steps_per_epoch=10)
+    n_plain = first_update_norm(plain_b, x)
+    n_warm = first_update_norm(warm_b, x)
+    assert n_warm < n_plain * 0.05, (n_plain, n_warm)
+
+    gen_plain, dis_plain = build_adversarial(cfg)
+    gen_warm, dis_warm = build_adversarial(warm)
+    assert (first_update_norm(gen_warm, x)
+            < first_update_norm(gen_plain, x) * 0.05)
+    dx = jnp.zeros((1, 16, 32, 19))
+    assert (first_update_norm(dis_warm, dx)
+            < first_update_norm(dis_plain, dx) * 0.05)
