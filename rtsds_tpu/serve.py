@@ -86,7 +86,14 @@ def batched_mask_predict(call, frames: np.ndarray,
         if n < batch_size:
             pad = np.zeros((batch_size - n, *frames.shape[1:]), np.uint8)
             frames = np.concatenate([frames, pad])
-    masks = np.asarray(call(frames))[:n]
+    out = call(frames)
+    if hasattr(out, "device"):  # jax array: slice the padding off ON
+        out = out[:n]           # DEVICE so its rows are never fetched
+    # device->host is the measured serving bottleneck on tunneled
+    # backends (~20 MB/s vs ~1 GB/s host->device); the device side emits
+    # uint8 masks (4x smaller wire format) and the int32 contract is
+    # restored here at host-memory speed
+    masks = np.asarray(out)[:n].astype(np.int32, copy=False)
     return masks[0] if single else masks
 
 
@@ -220,9 +227,14 @@ class Predictor:
         def _predict(variables, frames_u8):
             x = normalize(frames_u8.astype(jnp.float32), correct)
             if protocol_fn is not None:
-                return protocol_fn(variables, x)
-            logits = model.apply(variables, x, train=False)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                out = protocol_fn(variables, x)
+            else:
+                logits = model.apply(variables, x, train=False)
+                out = jnp.argmax(logits, axis=-1)
+            # uint8 wire format: trainIds are < 256 and device->host is
+            # the serving bottleneck through tunneled backends; callers
+            # get int32 back from batched_mask_predict
+            return out.astype(jnp.uint8)
 
         self._predict = _predict
 
@@ -267,12 +279,14 @@ class Predictor:
                 raise ValueError(
                     f"stream batches must be <= compiled batch "
                     f"{self.batch_size}, got {n}")
-            fut = self._predict(self.variables, self._stage(frames))
+            # slice the padding off ON DEVICE (fetch only n rows) and
+            # restore the int32 contract at host-memory speed
+            fut = self._predict(self.variables, self._stage(frames))[:n]
             if pending is not None:
-                yield np.asarray(pending[0])[:pending[1]]
+                yield np.asarray(pending[0]).astype(np.int32, copy=False)
             pending = (fut, n)
         if pending is not None:
-            yield np.asarray(pending[0])[:pending[1]]
+            yield np.asarray(pending[0]).astype(np.int32, copy=False)
 
     def predict_colored(self, frames: np.ndarray) -> np.ndarray:
         """(..., H, W, 3) uint8 -> colorized (..., H, W, 3) uint8 masks."""

@@ -238,23 +238,49 @@ def make_http_server(batcher: MicroBatcher, host: str = "127.0.0.1",
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                img = Image.open(io.BytesIO(self.rfile.read(length)))
-                img = img.convert("RGB")
-                if img.size != (size[1], size[0]):
-                    img = img.resize((size[1], size[0]), Image.BILINEAR)
-                frame = np.asarray(img, dtype=np.uint8)
+                ctype = self.headers.get("Content-Type", "")
+                raw = ctype.startswith("application/octet-stream")
+                if raw:
+                    # raw fast path: exactly H*W*3 uint8 bytes at the
+                    # compiled size, response = H*W uint8 mask bytes.
+                    # PNG codec work dominated the measured HTTP serving
+                    # cost (~300x the device time at 1024x2048) -- this
+                    # path skips it entirely on both sides
+                    expected = size[0] * size[1] * 3
+                    if length != expected:
+                        self.send_error(
+                            400, f"octet-stream body must be exactly "
+                                 f"{expected} bytes (H*W*3 uint8 at the "
+                                 f"compiled size {size})")
+                        return
+                    frame = np.frombuffer(self.rfile.read(length),
+                                          np.uint8).reshape(*size, 3)
+                else:
+                    img = Image.open(io.BytesIO(self.rfile.read(length)))
+                    img = img.convert("RGB")
+                    if img.size != (size[1], size[0]):
+                        img = img.resize((size[1], size[0]), Image.BILINEAR)
+                    frame = np.asarray(img, dtype=np.uint8)
                 mask = batcher.submit(frame).result(timeout=60)
-                if colored:
+                if raw:
+                    body = np.ascontiguousarray(
+                        mask.astype(np.uint8)).tobytes()
+                    content_type = "application/octet-stream"
+                elif colored:
                     from rtsds_tpu.serve import colorize_masks
 
-                    out = Image.fromarray(colorize_masks(mask))
+                    buf = io.BytesIO()
+                    Image.fromarray(colorize_masks(mask)).save(buf, "PNG")
+                    body = buf.getvalue()
+                    content_type = "image/png"
                 else:
-                    out = Image.fromarray(mask.astype(np.uint8), mode="L")
-                buf = io.BytesIO()
-                out.save(buf, format="PNG")
-                body = buf.getvalue()
+                    buf = io.BytesIO()
+                    Image.fromarray(mask.astype(np.uint8),
+                                    mode="L").save(buf, "PNG")
+                    body = buf.getvalue()
+                    content_type = "image/png"
                 self.send_response(200)
-                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Type", content_type)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)

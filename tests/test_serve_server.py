@@ -336,3 +336,34 @@ def test_sigterm_graceful_shutdown():
     finally:
         restore()
     assert signal.getsignal(signal.SIGTERM) is previous
+
+
+def test_http_raw_octet_stream_roundtrip():
+    """application/octet-stream skips both PNG codecs: H*W*3 uint8 in,
+    H*W uint8 mask out; wrong byte count is a 400, not a batch poison."""
+    from rtsds_tpu.serve_server import MicroBatcher, make_http_server
+
+    mb = MicroBatcher(_FakePredictor(), max_wait_ms=0.0)
+    server = make_http_server(mb, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        frame = _frame(37)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=frame.tobytes(),
+            headers={"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.headers["Content-Type"] == "application/octet-stream"
+            mask = np.frombuffer(r.read(), np.uint8).reshape(8, 12)
+        assert int(mask[0, 0]) == 37
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b"\x00" * 10,
+            headers={"Content-Type": "application/octet-stream"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=30)
+        assert e.value.code == 400
+    finally:
+        server.shutdown()
+        mb.close()
