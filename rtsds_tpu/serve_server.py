@@ -29,6 +29,11 @@ from concurrent.futures import Future
 import numpy as np
 
 
+class Overloaded(RuntimeError):
+    """Raised by :meth:`MicroBatcher.submit` when the pending queue
+    exceeds ``max_queue`` (mapped to HTTP 503 by the server)."""
+
+
 class MicroBatcher:
     """Coalesce concurrent single-frame requests into device batches.
 
@@ -46,11 +51,17 @@ class MicroBatcher:
     """
 
     def __init__(self, predictor, max_batch: int | None = None,
-                 max_wait_ms: float = 2.0, pad_to_max: bool = True):
+                 max_wait_ms: float = 2.0, pad_to_max: bool = True,
+                 max_queue: int | None = None):
         self.pad_to_max = bool(pad_to_max)
         self.predictor = predictor
         self.max_batch = int(max_batch or getattr(predictor, "batch_size", 8))
         self.max_wait = max(float(max_wait_ms), 0.0) / 1e3
+        # backpressure: refuse new work beyond this queue depth (None =
+        # unbounded).  Without it a slow device lets latency grow without
+        # limit (measured: p99 13 s under 2x-capacity HTTP load) -- a
+        # bounded queue converts overload into fast, explicit rejections
+        self.max_queue = None if max_queue is None else int(max_queue)
         self._queue: queue.Queue = queue.Queue()
         self._closed = threading.Event()
         # observability: recent coalesced batch sizes + request latencies
@@ -60,6 +71,7 @@ class MicroBatcher:
         self._requests = 0
         self._errors = 0
         self._batches = 0
+        self._rejected = 0
         self._thread = threading.Thread(target=self._collector, daemon=True)
         self._thread.start()
 
@@ -78,6 +90,12 @@ class MicroBatcher:
             raise ValueError(
                 f"predictor compiled for {tuple(expected)}, got "
                 f"{frame.shape[:2]}")
+        if (self.max_queue is not None
+                and self._queue.qsize() >= self.max_queue):
+            self._rejected += 1
+            raise Overloaded(
+                f"queue depth {self._queue.qsize()} >= max_queue "
+                f"{self.max_queue}; retry later")
         fut: Future = Future()
         self._requests += 1
         self._queue.put((frame, fut, time.monotonic()))
@@ -183,6 +201,7 @@ class MicroBatcher:
             "requests": self._requests,
             "batches": self._batches,
             "errors": self._errors,
+            "rejected": self._rejected,
             "max_batch": self.max_batch,
             "mean_batch_size": (round(sum(sizes) / len(sizes), 2)
                                 if sizes else None),
@@ -284,6 +303,8 @@ def make_http_server(batcher: MicroBatcher, host: str = "127.0.0.1",
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            except Overloaded as e:
+                self.send_error(503, " ".join(str(e).split())[:200])
             except Exception as e:
                 # one line only: newlines in the status line would split
                 # the HTTP response
@@ -312,6 +333,10 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=8,
                         help="compiled micro-batch size")
     parser.add_argument("--max_wait_ms", type=float, default=2.0)
+    parser.add_argument("--max_queue", type=int, default=None,
+                        help="backpressure: reject (HTTP 503) when this "
+                             "many requests are already queued; default "
+                             "unbounded")
     parser.add_argument("--colored", action="store_true")
     parser.add_argument("--protocol", default="plain",
                         choices=["plain", "ensemble", "sliding"],
@@ -378,7 +403,8 @@ def main(argv=None):
         (max_batch, *predictor.image_size, 3), np.uint8))
 
     batcher = MicroBatcher(predictor, max_batch=max_batch,
-                           max_wait_ms=args.max_wait_ms)
+                           max_wait_ms=args.max_wait_ms,
+                           max_queue=args.max_queue)
     server = make_http_server(batcher, host=args.host, port=args.port,
                               colored=args.colored)
     restore_sigterm = _install_graceful_shutdown(server)

@@ -367,3 +367,68 @@ def test_http_raw_octet_stream_roundtrip():
     finally:
         server.shutdown()
         mb.close()
+
+
+def test_backpressure_rejects_when_queue_full():
+    """max_queue converts overload into fast Overloaded rejections
+    (HTTP 503) instead of unbounded latency; stats counts them."""
+    from rtsds_tpu.serve_server import MicroBatcher, Overloaded
+
+    pred = _FakePredictor(delay=0.2)  # slow device so the queue builds
+    mb = MicroBatcher(pred, max_batch=2, max_wait_ms=0.0, max_queue=3)
+    try:
+        futs = []
+        rejected = 0
+        for v in range(20):
+            try:
+                futs.append(mb.submit(_frame(v % 200)))
+            except Overloaded:
+                rejected += 1
+        assert rejected > 0
+        for f in futs:
+            f.result(timeout=30)  # accepted work still completes
+        assert mb.stats()["rejected"] == rejected
+        # queue drained: accepting again
+        assert mb.predict(_frame(5)) is not None
+    finally:
+        mb.close()
+
+
+def test_backpressure_http_503():
+    import urllib.error
+
+    from rtsds_tpu.serve_server import MicroBatcher, make_http_server
+
+    pred = _FakePredictor(delay=0.3)
+    mb = MicroBatcher(pred, max_batch=1, max_wait_ms=0.0, max_queue=1)
+    server = make_http_server(mb, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        frame = _frame(9).tobytes()
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict", data=frame,
+                headers={"Content-Type": "application/octet-stream"})
+            return urllib.request.urlopen(req, timeout=30)
+
+        results = []
+
+        def worker():
+            try:
+                with post() as r:
+                    results.append(r.status)
+            except urllib.error.HTTPError as e:
+                results.append(e.code)
+
+        threads = [threading.Thread(target=worker) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert 503 in results  # overload rejected fast
+        assert 200 in results  # accepted work served
+    finally:
+        server.shutdown()
+        mb.close()
