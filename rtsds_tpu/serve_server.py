@@ -202,6 +202,7 @@ class MicroBatcher:
             "batches": self._batches,
             "errors": self._errors,
             "rejected": self._rejected,
+            "queued": self._queue.qsize(),
             "max_batch": self.max_batch,
             "mean_batch_size": (round(sum(sizes) / len(sizes), 2)
                                 if sizes else None),
