@@ -105,3 +105,21 @@ def test_predictor_ensemble_protocol_multiscale_runs(rng):
     mask = p.predict(frame)
     assert mask.shape == (32, 64)
     assert mask.max() < 19
+
+
+def test_mask_wire_format_uint8_device_int32_host(rng):
+    """The serving program emits uint8 masks (4x less device->host
+    traffic -- the measured tunnel bottleneck) while predict() keeps the
+    int32 public contract; padding rows are sliced before the fetch."""
+    import jax.numpy as jnp
+
+    p = Predictor(image_size=(32, 64), batch_size=4, dtype=None)
+    frames = rng.integers(0, 256, size=(1, 32, 64, 3)).astype(np.uint8)
+    dev = p._predict(p.variables,
+                     p._stage(np.zeros((4, 32, 64, 3), np.uint8)))
+    assert dev.dtype == jnp.uint8
+    masks = p.predict(frames)
+    assert masks.dtype == np.int32 and masks.shape == (1, 32, 64)
+    # streaming path honors the same contract
+    stream = next(iter(p.predict_iter([frames])))
+    assert stream.dtype == np.int32 and stream.shape == (1, 32, 64)
