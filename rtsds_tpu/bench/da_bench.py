@@ -117,6 +117,7 @@ def da_step_benchmark(batch_size: int = 4, src_hw=(720, 1280),
         "tgt_hw": list(tgt_hw),
         "dtype": str(getattr(dtype, "__name__", dtype)),
         "self_training": self_training,
+        "classmix": classmix,
         "lambda_ent": lambda_ent,
         "fda_beta": fda_beta,
     }
@@ -129,13 +130,17 @@ def main():
     lambda_ent = float(os.environ.get("DA_ENTROPY", "0"))
     fda_beta = float(os.environ.get("DA_FDA", "0"))
     classmix = os.environ.get("DA_CLASSMIX", "0") == "1"
+    # DA_CLASSMIX implies the self-training step (ClassMix needs the teacher's
+    # pseudo-labels); label and gate the result accordingly, not as plain DA
+    effective_self_training = self_training or classmix
     stats = da_step_benchmark(batch_size=batch, steps=steps,
-                              self_training=self_training or classmix,
+                              self_training=effective_self_training,
                               lambda_ent=lambda_ent, fda_beta=fda_beta,
                               classmix=classmix)
     sps = stats["steps_per_sec"]
     print(json.dumps({
-        "metric": ("da_self_training_steps_per_sec" if self_training
+        "metric": ("da_self_training_steps_per_sec"
+                   if effective_self_training
                    else "da_train_steps_per_sec"),
         "value": round(sps, 3),
         "unit": "steps/sec",

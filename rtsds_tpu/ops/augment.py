@@ -36,7 +36,8 @@ class AugmentConfig:
     flip_labels: bool = True
     # (ours) random zoom-in: crop a 1/s window at a random position and
     # resample to full size (RandomResizedCrop with the aspect fixed) --
-    # shape-static via jax.image.scale_and_translate, s in [1, zoom_max]
+    # shape-static via jax.image.scale_and_translate, s in [1, zoom_max];
+    # per-sample geometry + fire coin (vmapped)
     zoom_max: float | None = None
     zoom_p: float = 0.5
 
@@ -113,9 +114,13 @@ def _hue_shift(img, shift):
 
 
 def _random_zoom(key, image, label, gate, zoom_max: float, zoom_p: float):
-    """Zoom into a random 1/s-sized window (s ~ U[1, zoom_max]) of the
-    whole batch and resample back to full resolution — image bilinear,
-    label nearest, SAME geometry for both so pixel correspondence holds.
+    """Zoom into a random 1/s-sized window (s ~ U[1, zoom_max]) of each
+    sample and resample back to full resolution — image bilinear, label
+    nearest, SAME geometry for both so pixel correspondence holds.
+
+    Per-sample draws (RandomResizedCrop semantics): every image in the
+    batch gets its own (s, ty, tx) window and its own fire/skip coin,
+    vmapped so the program stays one static jit graph.
 
     Shape-static: ``jax.image.scale_and_translate`` maps output coords x
     to input coords ``(x - t) / s``; with s >= 1 and
@@ -123,26 +128,31 @@ def _random_zoom(key, image, label, gate, zoom_max: float, zoom_p: float):
     so no fill-value semantics for labels).
     """
     ks, kp, ky, kx = jax.random.split(key, 4)
-    s = jax.random.uniform(ks, (), minval=1.0, maxval=float(zoom_max))
-    do = (jax.random.uniform(kp, ()) < zoom_p) & gate
+    n = image.shape[0]
+    s = jax.random.uniform(ks, (n,), minval=1.0, maxval=float(zoom_max))
+    do = (jax.random.uniform(kp, (n,)) < zoom_p) & gate
     h, w = image.shape[-3], image.shape[-2]
-    ty = -jax.random.uniform(ky, ()) * (s - 1.0) * h
-    tx = -jax.random.uniform(kx, ()) * (s - 1.0) * w
-    scale = jnp.stack([s, s])
-    trans = jnp.stack([ty, tx])
-    zoom_img = jax.image.scale_and_translate(
-        image, image.shape, (1, 2), scale, trans, method="linear")
-    # nearest label resampling with scale_and_translate's pixel-center
-    # convention (out center x+0.5 samples input coord (x+0.5-t)/s);
-    # scale_and_translate itself rejects method="nearest"
+    ty = -jax.random.uniform(ky, (n,)) * (s - 1.0) * h
+    tx = -jax.random.uniform(kx, (n,)) * (s - 1.0) * w
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
-    src_y = jnp.clip(jnp.floor((ys + 0.5 - ty) / s), 0, h - 1)
-    src_x = jnp.clip(jnp.floor((xs + 0.5 - tx) / s), 0, w - 1)
-    zoom_lbl = label[:, src_y.astype(jnp.int32)[:, None],
-                     src_x.astype(jnp.int32)[None, :]]
-    return (jnp.where(do, zoom_img, image),
-            jnp.where(do, zoom_lbl, label))
+
+    def zoom_one(s, ty, tx, img, lbl):
+        zoom_img = jax.image.scale_and_translate(
+            img, img.shape, (0, 1), jnp.stack([s, s]), jnp.stack([ty, tx]),
+            method="linear")
+        # nearest label resampling with scale_and_translate's pixel-center
+        # convention (out center x+0.5 samples input coord (x+0.5-t)/s);
+        # scale_and_translate itself rejects method="nearest"
+        src_y = jnp.clip(jnp.floor((ys + 0.5 - ty) / s), 0, h - 1)
+        src_x = jnp.clip(jnp.floor((xs + 0.5 - tx) / s), 0, w - 1)
+        zoom_lbl = lbl[src_y.astype(jnp.int32)[:, None],
+                       src_x.astype(jnp.int32)[None, :]]
+        return zoom_img, zoom_lbl
+
+    zoom_img, zoom_lbl = jax.vmap(zoom_one)(s, ty, tx, image, label)
+    return (jnp.where(do[:, None, None, None], zoom_img, image),
+            jnp.where(do[:, None, None], zoom_lbl, label))
 
 
 def make_augment_fn(cfg: AugmentConfig) -> Callable:

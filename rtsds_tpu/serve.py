@@ -164,6 +164,12 @@ class Predictor:
                                    output_f32=False)
         else:
             raise ValueError(model_name)
+        # the uint8 wire format (``_predict`` casts masks to uint8 before
+        # the device->host fetch) can only represent class ids 0..255
+        if num_classes > 256:
+            raise ValueError(
+                f"num_classes={num_classes} exceeds the uint8 serving wire "
+                f"format (class ids must fit in a byte)")
         self.image_size = tuple(image_size)
         self.batch_size = batch_size
         self.correct_preprocessing = correct_preprocessing

@@ -65,7 +65,11 @@ class MicroBatcher:
         self._queue: queue.Queue = queue.Queue()
         self._closed = threading.Event()
         # observability: recent coalesced batch sizes + request latencies
-        # (bounded deques; counters are monotonic)
+        # (bounded deques; counters are monotonic).  _stats_lock guards
+        # every mutation AND the stats() snapshot: sorted()/list() over a
+        # deque raises RuntimeError if the collector appends concurrently,
+        # which would kill GET /stats exactly when serving is busy
+        self._stats_lock = threading.Lock()
         self.batch_sizes = collections.deque(maxlen=1024)
         self.latencies = collections.deque(maxlen=4096)
         self._requests = 0
@@ -92,12 +96,14 @@ class MicroBatcher:
                 f"{frame.shape[:2]}")
         if (self.max_queue is not None
                 and self._queue.qsize() >= self.max_queue):
-            self._rejected += 1
+            with self._stats_lock:
+                self._rejected += 1
             raise Overloaded(
                 f"queue depth {self._queue.qsize()} >= max_queue "
                 f"{self.max_queue}; retry later")
         fut: Future = Future()
-        self._requests += 1
+        with self._stats_lock:
+            self._requests += 1
         self._queue.put((frame, fut, time.monotonic()))
         if self._closed.is_set():
             # close() may have drained the queue between our check and the
@@ -153,8 +159,9 @@ class MicroBatcher:
                     continue
                 futures = [fut for _, fut, _ in claimed]
                 frames = np.stack([frame for frame, _, _ in claimed])
-                self.batch_sizes.append(len(claimed))
-                self._batches += 1
+                with self._stats_lock:
+                    self.batch_sizes.append(len(claimed))
+                    self._batches += 1
                 n = frames.shape[0]
                 if self.pad_to_max and n < self.max_batch:
                     pad = np.zeros((self.max_batch - n, *frames.shape[1:]),
@@ -165,14 +172,16 @@ class MicroBatcher:
                 for (_, fut, t0), mask in zip(claimed, masks):
                     try:
                         fut.set_result(np.asarray(mask))
-                        self.latencies.append(done - t0)
+                        with self._stats_lock:
+                            self.latencies.append(done - t0)
                     except Exception:
                         pass  # client cancelled mid-flight
             except Exception as e:
                 # the collector thread must survive anything (a dead
                 # collector strands every future forever); the failed
                 # batch's clients get the error
-                self._errors += len(futures)
+                with self._stats_lock:
+                    self._errors += len(futures)
                 self._fail(futures, e)
                 continue
 
@@ -190,18 +199,21 @@ class MicroBatcher:
         """Serving statistics snapshot (for ``GET /stats`` / monitoring):
         monotonic request/batch/error counters plus recent-window mean
         coalesced batch size and p50/p99 end-to-end request latency."""
-        lat = sorted(self.latencies)
-        sizes = list(self.batch_sizes)
+        with self._stats_lock:
+            lat = sorted(self.latencies)
+            sizes = list(self.batch_sizes)
+            requests, batches = self._requests, self._batches
+            errors, rejected = self._errors, self._rejected
 
         def pct(p):
             return (round(lat[min(int(len(lat) * p), len(lat) - 1)] * 1e3, 3)
                     if lat else None)
 
         return {
-            "requests": self._requests,
-            "batches": self._batches,
-            "errors": self._errors,
-            "rejected": self._rejected,
+            "requests": requests,
+            "batches": batches,
+            "errors": errors,
+            "rejected": rejected,
             "queued": self._queue.qsize(),
             "max_batch": self.max_batch,
             "mean_batch_size": (round(sum(sizes) / len(sizes), 2)

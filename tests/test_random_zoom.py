@@ -68,6 +68,22 @@ def test_zoom_gates_off(rng):
     np.testing.assert_array_equal(np.asarray(lbl2), np.asarray(lbl))
 
 
+def test_zoom_is_per_sample(rng):
+    """Each batch element draws its own (s, ty, tx) window — identical
+    input images must come out with DIFFERENT zoom geometry (the
+    RandomResizedCrop semantics, not one shared window per batch)."""
+    img1, lbl1 = _blocky_batch(rng, n=1, h=32, w=48)
+    img = jnp.concatenate([img1] * 4)
+    lbl = jnp.concatenate([lbl1] * 4)
+    aug = make_augment_fn(_zoom_cfg(zoom_max=2.0))
+    img2, lbl2 = aug(jax.random.key(11), img, lbl)
+    l2 = np.asarray(lbl2)
+    pairwise_distinct = sum(
+        not np.array_equal(l2[i], l2[j])
+        for i in range(4) for j in range(i + 1, 4))
+    assert pairwise_distinct >= 3, pairwise_distinct
+
+
 def test_zoom_from_config():
     cfg = default_config().replace(augmentation={
         "p": 1.0, "RandomZoom": {"max": 1.7, "p": 0.9}})

@@ -123,3 +123,14 @@ def test_mask_wire_format_uint8_device_int32_host(rng):
     # streaming path honors the same contract
     stream = next(iter(p.predict_iter([frames])))
     assert stream.dtype == np.int32 and stream.shape == (1, 32, 64)
+
+
+def test_predictor_rejects_classes_beyond_uint8_wire():
+    """The uint8 mask wire format cannot represent ids > 255 — the
+    constructor must refuse rather than silently wrap masks mod 256."""
+    import pytest
+
+    from rtsds_tpu.serve import Predictor
+
+    with pytest.raises(ValueError, match="uint8"):
+        Predictor(image_size=(32, 64), batch_size=1, num_classes=300)

@@ -432,3 +432,38 @@ def test_backpressure_http_503():
     finally:
         server.shutdown()
         mb.close()
+
+
+def test_stats_is_safe_under_concurrent_mutation():
+    """GET /stats must never die while the collector appends: hammer
+    stats() from one thread while a client floods submits — an unguarded
+    deque raises RuntimeError('deque mutated during iteration') here."""
+    from rtsds_tpu.serve_server import MicroBatcher
+
+    mb = MicroBatcher(_FakePredictor(), max_wait_ms=0.0)
+    stop = threading.Event()
+    errors = []
+
+    def hammer_stats():
+        while not stop.is_set():
+            try:
+                s = mb.stats()
+                assert s["requests"] >= 0
+            except Exception as e:  # pragma: no cover - the failure mode
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=hammer_stats)
+    t.start()
+    try:
+        futs = [mb.submit(_frame(v % 251)) for v in range(400)]
+        for fut in futs:
+            fut.result(timeout=30)
+    finally:
+        stop.set()
+        t.join(timeout=10)
+        mb.close()
+    assert not errors, errors
+    s = mb.stats()
+    assert s["requests"] == 400
+    assert s["latency_p50_ms"] is not None
