@@ -433,6 +433,21 @@ def _main(argv=None):
                     thr = float(thr)
                 st_threshold = thr
 
+        # DANN-style gradient-reversal training (discriminator.grl): one
+        # fused backward; composes with the plain v1 step only
+        grl_cfg = config.model["adversarial_model"]["discriminator"].get(
+            "grl")
+        grl_alpha = (float(grl_cfg.get("alpha", 0.1))
+                     if grl_cfg and bool(grl_cfg.get("enabled", False))
+                     else 0.0)
+        if grl_alpha and self_training:
+            raise SystemExit("discriminator.grl does not compose with "
+                             "self_training (one joint backward vs the "
+                             "teacher-student step); disable one")
+        if grl_alpha and str(tcfg.get("variant", "v1")) != "v1":
+            raise SystemExit("discriminator.grl composes with the v1 "
+                             "adversarial step only; set variant: v1")
+
         # optional fused DA extras (both compose with v1/v2/self-training):
         # MinEnt target-entropy loss (ADVENT) and FDA source restyling
         ent_cfg = tcfg.get("entropy_min")
@@ -545,7 +560,8 @@ def _main(argv=None):
                 epochs=int(tcfg["epochs"]),
                 ignore_index=ignore_index,
                 variant=str(tcfg.get("variant", "v1")),
-                lambda_ent=lambda_ent, fda_beta=fda_beta)
+                lambda_ent=lambda_ent, fda_beta=fda_beta,
+                grl_alpha=grl_alpha)
 
         try:
             adversarial_fit(

@@ -174,7 +174,11 @@ _DEFAULTS: dict = {
             "pretrain": False,
             "pretrain_model_path": "",
             "power_lr_factor": 0.9,
-            "optimizer": {"name": "Adam", "lr": 0.0001, "grad_clip": 0.0},
+            # head_lr_mult: discriminative LR -- scale the ASPP classifier
+            # head's LR by this factor (the reference's 10x intent,
+            # deeplabv2.py:171-173); 0 = uniform LR
+            "optimizer": {"name": "Adam", "lr": 0.0001, "grad_clip": 0.0,
+                          "head_lr_mult": 0.0},
             "criterion": {"name": "CrossEntropy", "ignore_index": 19},
         },
         "bisenet": {
@@ -183,14 +187,18 @@ _DEFAULTS: dict = {
             "pretrained": False,
             "pretrain_model_path": "",
             "power_lr_factor": 0.9,
-            "optimizer": {"name": "Adam", "lr": 0.0001, "grad_clip": 0.0},
+            # head_lr_mult: scale every non-backbone module's LR (the
+            # reference's `mul_lr` intent, build_bisenet.py:121-128)
+            "optimizer": {"name": "Adam", "lr": 0.0001, "grad_clip": 0.0,
+                          "head_lr_mult": 0.0},
             "criterion": {"name": "CrossEntropy", "ignore_index": 19},
         },
         "adversarial_model": {
             "generator": {
                 "name": "bisenet",
                 "power_lr_factor": 0.9,
-                "optimizer": {"name": "Adam", "lr": 0.0001, "grad_clip": 0.0},
+                "optimizer": {"name": "Adam", "lr": 0.0001, "grad_clip": 0.0,
+                              "head_lr_mult": 0.0},
                 "criterion": {"name": "CrossEntropy", "ignore_index": 19},
             },
             "discriminator": {
@@ -204,6 +212,15 @@ _DEFAULTS: dict = {
                     "grad_clip": 0.0,
                 },
                 "criterion": {"name": "BCEWithLogits"},
+                # ours: DANN-style gradient-reversal training (the
+                # reference's GradientReversalFunction, model.py:9-17,
+                # config-reachable for real): ONE fused backward computes
+                # both updates -- the domain loss reaches the generator
+                # through a -alpha-scaled reversal at the discriminator
+                # input while the discriminator itself minimizes normally.
+                # Composes with v1 only (replaces its two-backward G/D
+                # dance).
+                "grl": {"enabled": False, "alpha": 0.1},
             },
         },
     },

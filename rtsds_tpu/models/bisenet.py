@@ -235,3 +235,22 @@ class BiSeNet(nn.Module):
         if train:
             return result, cx1_sup, cx2_sup
         return result
+
+
+def head_lr_multiplier_mask(params, head_mult: float = 10.0) -> dict:
+    """Pytree of LR multipliers: ``head_mult`` for every non-backbone
+    module (spatial path, ARMs, FFM, supervision heads, final conv), 1x
+    for the pretrained context path.
+
+    This is the reference's ``mul_lr`` intent (``build_bisenet.py:121-128``
+    collects exactly these modules for per-module LR but never consumes
+    the list).  Config-reachable via ``model.bisenet.optimizer.
+    head_lr_mult`` (and the DA generator's optimizer section).
+    """
+    import jax
+
+    def mult(path, _):
+        keys = tuple(p.key for p in path if hasattr(p, "key"))
+        return 1.0 if keys and keys[0] == "context_path" else float(head_mult)
+
+    return jax.tree_util.tree_map_with_path(mult, params)

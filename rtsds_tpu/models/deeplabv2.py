@@ -139,13 +139,15 @@ def frozen_bn_mask(params) -> dict:
         params)
 
 
-def lr_multiplier_mask(params) -> dict:
-    """Pytree of LR multipliers: 10x for the ASPP classifier ('layer6'),
-    1x elsewhere (``deeplabv2.py:171-173``)."""
+def lr_multiplier_mask(params, head_mult: float = 10.0) -> dict:
+    """Pytree of LR multipliers: ``head_mult`` (default 10x) for the ASPP
+    classifier ('layer6'), 1x elsewhere (``deeplabv2.py:171-173``).
+
+    Config-reachable via ``model.deeplab.optimizer.head_lr_mult``."""
     import jax
 
     def mult(path, _):
         keys = tuple(p.key for p in path if hasattr(p, "key"))
-        return 10.0 if any(k == "layer6" for k in keys) else 1.0
+        return float(head_mult) if any(k == "layer6" for k in keys) else 1.0
 
     return jax.tree_util.tree_map_with_path(mult, params)

@@ -53,7 +53,8 @@ def _apply_gen(state, params, batch_stats, images):
 def make_adversarial_step(lambda_: float, iterations: int, epochs: int,
                           ignore_index: int | None = 19,
                           variant: str = "v1", donate: bool = True,
-                          lambda_ent: float = 0.0, fda_beta: float = 0.0):
+                          lambda_ent: float = 0.0, fda_beta: float = 0.0,
+                          grl_alpha: float = 0.0):
     """Build the fused G/D step.
 
     Signature: ``step(gen_state, dis_state, src_images, src_labels,
@@ -68,8 +69,27 @@ def make_adversarial_step(lambda_: float, iterations: int, epochs: int,
     ``fda_beta > 0`` restyles each source batch with the target batch's
     low-frequency FFT amplitude before the generator sees it (FDA, Yang
     & Soatto CVPR'20 — see :mod:`rtsds_tpu.ops.fda`).
+
+    ``grl_alpha > 0`` (v1 only; config ``model.adversarial_model.
+    discriminator.grl``) switches to DANN-style gradient-reversal
+    training: ONE fused backward over a joint loss — the domain-
+    classification BCE reaches the generator through a
+    ``-alpha*lambda``-scaled gradient reversal at the discriminator
+    input (the reference's ``GradientReversalFunction``, ``model.py:
+    9-17``, wired for real), while the discriminator minimizes the same
+    loss normally.  Cheaper than v1's two backwards on TPU, and the
+    discriminator update is bit-identical to v1's (same pre-update
+    features, same unweighted BCE); the generator trades v1's
+    non-saturating fool-the-D target-only loss for the saturating
+    maximize-D-error signal on BOTH domains.
     """
-    if variant == "v1":
+    if grl_alpha and variant != "v1":
+        raise ValueError("grl composes with the v1 step only; "
+                         f"got variant={variant!r}")
+    if grl_alpha:
+        step = _make_grl_step(lambda_, iterations, ignore_index, lambda_ent,
+                              grl_alpha)
+    elif variant == "v1":
         step = _make_v1_step(lambda_, iterations, ignore_index, lambda_ent)
     elif variant == "v2":
         step = _make_v2_step(lambda_, iterations, ignore_index, lambda_ent)
@@ -149,6 +169,75 @@ def _make_v1_step(lambda_: float, iterations: int, ignore_index,
             "loss_adversarial": adv_loss,
             "loss_disc_source": loss_dis_src,
             "loss_disc_target": loss_dis_tgt,
+            "correct": jnp.sum(preds == src_labels),
+            "total": jnp.asarray(src_labels.size, jnp.int32),
+        }
+        if ent_loss is not None:
+            metrics["loss_entropy"] = ent_loss
+        return gen_state, dis_state, metrics
+
+    return step
+
+
+def _make_grl_step(lambda_: float, iterations: int, ignore_index,
+                   lambda_ent: float, grl_alpha: float):
+    """DANN-style fused step: one ``value_and_grad`` over BOTH param trees.
+
+    The joint loss is ``CE(src)/it + [BCE(D(src),1) + BCE(D(tgt),0)]/it``
+    with a ``gradient_reversal(., lambda * alpha)`` between the softmax
+    features and D.  Because the reversal sits at D's *input*, D's own
+    parameter gradients are untouched (D minimizes the domain loss, same
+    update as v1's discriminator step), while the generator receives the
+    ``-lambda*alpha``-scaled domain gradient (maximizes D's error on both
+    domains).  One backward replaces v1's two.
+    """
+    from rtsds_tpu.models.discriminator import gradient_reversal
+
+    inv_iters = 1.0 / float(iterations)
+    rev_scale = float(lambda_) * float(grl_alpha)
+
+    def step(gen_state, dis_state, src_images, src_labels, tgt_images):
+        def joint_loss_fn(gen_params, dis_params):
+            src_out, bs1 = _apply_gen(gen_state, gen_params,
+                                      gen_state.batch_stats, src_images)
+            seg_loss = segmentation_loss(src_out, src_labels,
+                                         ignore_index) * inv_iters
+            tgt_out, bs2 = _apply_gen(gen_state, gen_params, bs1, tgt_images)
+            tgt_main = tgt_out[0]
+            src_feat = gradient_reversal(
+                jax.nn.softmax(src_out[0], axis=-1), rev_scale)
+            tgt_feat = gradient_reversal(
+                jax.nn.softmax(tgt_main, axis=-1), rev_scale)
+            d_src = dis_state.apply_fn({"params": dis_params}, src_feat)
+            d_tgt = dis_state.apply_fn({"params": dis_params}, tgt_feat)
+            # unweighted BCE: D's update matches v1's exactly; the
+            # generator's weighting lives in rev_scale
+            loss_dom_src = bce_with_logits(d_src, 1.0) * inv_iters
+            loss_dom_tgt = bce_with_logits(d_tgt, 0.0) * inv_iters
+            total = seg_loss + loss_dom_src + loss_dom_tgt
+            ent_loss = None
+            if lambda_ent:
+                ent_loss = lambda_ent * entropy_loss(tgt_main) * inv_iters
+                total = total + ent_loss
+            aux = (bs2, src_out[0], seg_loss, loss_dom_src, loss_dom_tgt,
+                   ent_loss)
+            return total, aux
+
+        (_, (new_bs, src_main, seg_loss, loss_dom_src, loss_dom_tgt,
+             ent_loss)), (gen_grads, dis_grads) = jax.value_and_grad(
+            joint_loss_fn, argnums=(0, 1), has_aux=True)(
+            gen_state.params, dis_state.params)
+        gen_state = gen_state.apply_gradients(grads=gen_grads,
+                                              batch_stats=new_bs)
+        dis_state = dis_state.apply_gradients(grads=dis_grads)
+
+        preds = jnp.argmax(src_main, axis=-1)
+        metrics = {
+            "loss_gen_source": seg_loss,
+            # the generator's weighted view of the reversed domain loss
+            "loss_adversarial": rev_scale * (loss_dom_src + loss_dom_tgt),
+            "loss_disc_source": loss_dom_src,
+            "loss_disc_target": loss_dom_tgt,
             "correct": jnp.sum(preds == src_labels),
             "total": jnp.asarray(src_labels.size, jnp.int32),
         }

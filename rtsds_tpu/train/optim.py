@@ -28,13 +28,19 @@ import optax
 
 
 def _scale_by_tree(multipliers) -> optax.GradientTransformation:
+    """``multipliers``: a pytree of per-param scale factors, or a callable
+    ``params_like -> pytree`` materialized lazily at update time (mirrors
+    ``optax.masked``'s callable-mask support, so factories can build the
+    transform before any params exist)."""
+
     def init_fn(params):
         del params
         return optax.EmptyState()
 
     def update_fn(updates, state, params=None):
         del params
-        scaled = jax.tree_util.tree_map(lambda u, m: u * m, updates, multipliers)
+        mult = multipliers(updates) if callable(multipliers) else multipliers
+        scaled = jax.tree_util.tree_map(lambda u, m: u * m, updates, mult)
         return scaled, state
 
     return optax.GradientTransformation(init_fn, update_fn)
