@@ -13,6 +13,13 @@ BENCH_DA_BATCH (default 8), BENCH_DA_STEPS (default 5).
 BENCH_MODEL=deeplab switches the inference record to DeepLabV2-R101 at
 512x1024 (manual model-coverage runs; the driver default stays bisenet --
 the reference harness is model-generic, utils.py:109, so ours is too).
+
+A nested ``models`` section (BENCH_MODELS=0 skips) additionally records,
+with bounded iteration counts in the SAME process, the non-flagship
+configs so PERF.md's numbers are driver-reproduced each round:
+DeepLabV2-R101 serving at b8/512x1024 and the DA v2-variant step rate
+(the BASELINE gate is defined on v1; the v2 record carries an explicit
+caveat, reference train.py:322-500).
 """
 
 from __future__ import annotations
@@ -94,6 +101,51 @@ def main():
                 sps * V5E8_CHIPS
                 / (A100_REFERENCE_STEPS_PER_SEC * TARGET_MULTIPLE), 3),
         }
+
+    if os.environ.get("BENCH_MODELS", "1") != "0":
+        models = {}
+
+        # DeepLabV2-R101 serving, b8 @ 512x1024 (skip when it is already
+        # the headline record above); bounded iterations -- this is a
+        # coverage record, not the gate
+        if model != "deeplab":
+            from rtsds_tpu.bench.latency import deeplab_inference_benchmark
+
+            dl = deeplab_inference_benchmark(
+                image_size=(512, 1024), batch_size=8, iterations=2,
+                repeats=2, warmup=1)
+            dl_flops = dl.get("flops_per_call", float("nan"))
+            dl_mean_s = dl["mean_ms"] / 1e3
+            dl_mfu = (dl_flops / dl_mean_s / 197e12
+                      if dl_flops == dl_flops and dl_mean_s > 0 else None)
+            models["deeplab_512x1024_serving"] = {
+                "fps_per_chip": round(dl["fps"], 2),
+                "p50_ms": round(dl["p50_ms"], 3),
+                "batch_size": 8,
+                "dtype": dl["dtype"],
+                "mfu_vs_v5e_bf16_peak": (round(dl_mfu, 4)
+                                         if dl_mfu is not None else None),
+            }
+
+        # DA v2-variant step rate (reference train.py:322-500); the
+        # BASELINE ">5x A100" gate is DEFINED ON V1 -- this records the
+        # variant's cost so it cannot silently rot between rounds
+        if os.environ.get("BENCH_DA", "1") != "0":
+            from rtsds_tpu.bench.da_bench import da_step_benchmark
+
+            v2 = da_step_benchmark(
+                batch_size=int(os.environ.get("BENCH_DA_BATCH", "8")),
+                steps=3, repeats=2, variant="v2")
+            models["da_v2_steps_per_sec"] = {
+                "value": round(v2["steps_per_sec"], 3),
+                "ms_per_step": round(v2["ms_per_step"], 2),
+                "batch_size": v2["batch_size"],
+                "caveat": "baseline target defined on v1; v2 is a "
+                          "coverage record",
+            }
+
+        if models:
+            result["models"] = models
 
     print(json.dumps(result))
 

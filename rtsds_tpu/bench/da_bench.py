@@ -12,7 +12,8 @@ by a host fetch, so async dispatch cannot fake the rate.
 Run: ``python -m rtsds_tpu.bench.da_bench`` (env: DA_BATCH, DA_STEPS,
 DA_SELF_TRAINING=1 to bench the fused pseudo-label step instead;
 DA_ENTROPY=<lambda> / DA_FDA=<beta> to fuse MinEnt / FDA restyling in;
-DA_CLASSMIX=1 for the DACS mixed-batch step).
+DA_CLASSMIX=1 for the DACS mixed-batch step; DA_VARIANT=v2 for the
+authors' alternate adversarial recipe -- not gated, see below).
 """
 
 from __future__ import annotations
@@ -36,10 +37,18 @@ def da_step_benchmark(batch_size: int = 4, src_hw=(720, 1280),
                       tgt_hw=(512, 1024), steps: int = 5, repeats: int = 3,
                       dtype=jnp.bfloat16, self_training: bool = False,
                       lambda_ent: float = 0.0, fda_beta: float = 0.0,
-                      classmix: bool = False) -> dict:
+                      classmix: bool = False, variant: str = "v1") -> dict:
     """``self_training=True`` benches the fused pseudo-label step
     (``train/self_training.py``: +1 teacher forward at target resolution,
-    +1 thresholded CE, +1 EMA tree update vs the plain v1 step)."""
+    +1 thresholded CE, +1 EMA tree update vs the plain v1 step).
+
+    ``variant="v2"`` benches the authors' alternate adversarial recipe
+    (reference ``train.py:322-500``: scalar real/fake labels, adaptive
+    pooling, D trained on the UPDATED generator's outputs) -- a different
+    fused program from v1.  The BASELINE ">5x A100" gate is defined on v1;
+    v2 numbers are coverage records, not gated.  Ignored when
+    ``self_training`` is set (the pseudo-label step builds on v1).
+    """
     from rtsds_tpu.models.bisenet import BiSeNet
     from rtsds_tpu.models.discriminator import TinyDomainDiscriminator
     from rtsds_tpu.train.adversarial import make_adversarial_step
@@ -78,15 +87,15 @@ def da_step_benchmark(batch_size: int = 4, src_hw=(720, 1280),
             g, d, e, metrics = st_step(gen_state, dis_state, ema, *batch)
             return g, d, e, metrics
     else:
-        v1_step = make_adversarial_step(lambda_=0.1, iterations=100,
-                                        epochs=50, variant="v1",
-                                        donate=False,
-                                        lambda_ent=lambda_ent,
-                                        fda_beta=fda_beta)
+        adv_step = make_adversarial_step(lambda_=0.1, iterations=100,
+                                         epochs=50, variant=variant,
+                                         donate=False,
+                                         lambda_ent=lambda_ent,
+                                         fda_beta=fda_beta)
         ema = None
 
         def step(gen_state, dis_state, ema, *batch):
-            g, d, metrics = v1_step(gen_state, dis_state, *batch)
+            g, d, metrics = adv_step(gen_state, dis_state, *batch)
             return g, d, ema, metrics
 
     def run_n(gen_state, dis_state, ema, n: int):
@@ -117,6 +126,7 @@ def da_step_benchmark(batch_size: int = 4, src_hw=(720, 1280),
         "tgt_hw": list(tgt_hw),
         "dtype": str(getattr(dtype, "__name__", dtype)),
         "self_training": self_training,
+        "variant": "v1+pl" if self_training else variant,
         "classmix": classmix,
         "lambda_ent": lambda_ent,
         "fda_beta": fda_beta,
@@ -130,13 +140,14 @@ def main():
     lambda_ent = float(os.environ.get("DA_ENTROPY", "0"))
     fda_beta = float(os.environ.get("DA_FDA", "0"))
     classmix = os.environ.get("DA_CLASSMIX", "0") == "1"
+    variant = os.environ.get("DA_VARIANT", "v1")
     # DA_CLASSMIX implies the self-training step (ClassMix needs the teacher's
     # pseudo-labels); label and gate the result accordingly, not as plain DA
     effective_self_training = self_training or classmix
     stats = da_step_benchmark(batch_size=batch, steps=steps,
                               self_training=effective_self_training,
                               lambda_ent=lambda_ent, fda_beta=fda_beta,
-                              classmix=classmix)
+                              classmix=classmix, variant=variant)
     sps = stats["steps_per_sec"]
     print(json.dumps({
         "metric": ("da_self_training_steps_per_sec"

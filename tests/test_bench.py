@@ -72,3 +72,17 @@ def test_supervised_step_benchmark_structure():
 
     with pytest.raises(ValueError, match="unknown model"):
         supervised_step_benchmark("nope")
+
+
+@pytest.mark.slow
+def test_da_step_benchmark_v2_variant():
+    """bench.py's ``models`` section benches the v2 adversarial recipe
+    (reference train.py:322-500) through the same harness; the variant
+    knob must reach the step builder and be reported back."""
+    from rtsds_tpu.bench.da_bench import da_step_benchmark
+
+    stats = da_step_benchmark(batch_size=1, src_hw=(32, 64), tgt_hw=(32, 64),
+                              steps=1, repeats=1, variant="v2")
+    assert stats["variant"] == "v2"
+    assert stats["steps_per_sec"] > 0
+    assert stats["ms_per_step"] >= 0
