@@ -378,6 +378,11 @@ def _main(argv=None):
 
     if args.domain_adaptation:
         tcfg = config.training["domain_adaptation"]
+        if "pipe" in mesh.axis_names:
+            raise SystemExit(
+                "mesh: {pipe: N} supports supervised DeepLab training "
+                "only (the fused G/D steps have no pipelined variant); "
+                "use a data/spatial/model mesh for domain adaptation")
         gen_bundle, dis_bundle = build_adversarial(config)
         import jax.numpy as jnp
 
@@ -609,9 +614,41 @@ def _main(argv=None):
             "bisenet" if args.model == "bisenet" else "deeplab"]
         ignore_index = cfg_model["criterion"].get("ignore_index")
         accumulate_steps = int(tcfg.get("accumulate_steps", 1))
+        pipelined = "pipe" in mesh.axis_names
         dist_cfg = tcfg.get("distillation")
         distillation = bool(dist_cfg and dist_cfg.get("enabled", False))
-        if distillation:
+        if pipelined:
+            # GPipe over DeepLab's layer3 (train/pipelined.py): exact
+            # gradient-accumulation semantics, so it replaces (not
+            # composes with) accumulate_steps; microbatch count defaults
+            # to the pipe size
+            if args.model != "deeplab":
+                raise SystemExit(
+                    "mesh: {pipe: N} pipelines DeepLab's homogeneous "
+                    "layer3 bottlenecks; --model deeplab required")
+            if distillation:
+                raise SystemExit("mesh.pipe does not compose with "
+                                 "distillation; pick one")
+            if accumulate_steps > 1:
+                raise SystemExit(
+                    "mesh.pipe already microbatches (GPipe == gradient "
+                    "accumulation); set training.segmentation."
+                    "pipe_microbatches instead of accumulate_steps")
+            from rtsds_tpu.train.pipelined import make_pipelined_train_step
+
+            n_micro = int(tcfg.get("pipe_microbatches")
+                          or mesh.shape["pipe"])
+            if bs % n_micro:
+                raise SystemExit(
+                    f"batch_size {bs} does not split into {n_micro} "
+                    f"pipeline microbatches")
+            try:
+                train_step = make_pipelined_train_step(
+                    bundle.model, mesh, ignore_index=ignore_index,
+                    num_microbatches=n_micro)
+            except ValueError as e:
+                raise SystemExit(str(e))
+        elif distillation:
             # frozen-teacher KD: teacher forward + student CE+KL in one
             # fused program (train/distill.py); teacher weights ride as a
             # replicated argument, never baked into the HLO

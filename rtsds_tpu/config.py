@@ -239,6 +239,11 @@ _DEFAULTS: dict = {
             # ONE optimizer update (train/accumulate.py); batch_size must
             # divide by it
             "accumulate_steps": 1,
+            # ours: microbatch count for `mesh: {pipe: N}` pipelined
+            # DeepLab training (train/pipelined.py); null = the pipe size.
+            # GPipe == gradient accumulation, so this replaces
+            # accumulate_steps when pipelining
+            "pipe_microbatches": None,
             # ours: exponential moving average of params (train/ema.py);
             # validation runs on the EMA weights when enabled; the EMA tree
             # is checkpointed as an 'ema' item and restored on resume
@@ -333,8 +338,9 @@ _DEFAULTS: dict = {
     # Kills the minutes-long first-compile on every restart/resume.
     "compilation_cache": "",
     # data: -1 = all remaining devices; optional `spatial: S` shards image
-    # height (huge inputs), `model: M` FSDP-shards params/optimizer state
-    "mesh": {"data": -1, "spatial": 1, "model": 1},
+    # height (huge inputs), `model: M` FSDP-shards params/optimizer state,
+    # `pipe: P` GPipe-pipelines DeepLab's layer3 (exclusive with the rest)
+    "mesh": {"data": -1, "spatial": 1, "model": 1, "pipe": 1},
     "precision": {
         # params stay float32; compute dtype for the conv/matmul path
         "compute_dtype": "float32",

@@ -17,5 +17,6 @@ from rtsds_tpu.parallel.mesh import (  # noqa: F401
 )
 from rtsds_tpu.parallel.pipeline import (  # noqa: F401
     pipeline_apply,
+    pipeline_apply_stateful,
     stack_block_params,
 )

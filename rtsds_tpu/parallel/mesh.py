@@ -179,9 +179,11 @@ def make_mesh_from_config(spec: dict, devices=None,
 
     ``spec`` keys (all optional): ``data`` (-1 = fill with the remaining
     devices), ``spatial`` (height-band parallelism), ``model`` (FSDP
-    parameter sharding).  A pure-data spec keeps :func:`make_mesh`'s
-    batch-divisibility trimming; composed specs require the device count
-    to divide exactly.
+    parameter sharding), ``pipe`` (GPipe pipeline over DeepLab's layer3,
+    ``train/pipelined.py``; exclusive with the other axes -- inputs are
+    replicated and the schedule owns the devices).  A pure-data spec keeps
+    :func:`make_mesh`'s batch-divisibility trimming; composed specs
+    require the device count to divide exactly.
     """
     if devices is None:
         devices = jax.devices()
@@ -189,6 +191,26 @@ def make_mesh_from_config(spec: dict, devices=None,
     d = int(spec.get("data", -1))
     s = int(spec.get("spatial", 1))
     m = int(spec.get("model", 1))
+    p = int(spec.get("pipe", 1))
+    if p > 1:
+        # pipeline stages compute BN statistics per microbatch; a data or
+        # spatial axis inside the schedule would silently turn sync-BN
+        # into per-shard BN, so composition is rejected rather than wrong
+        if s > 1 or m > 1 or d not in (-1, 0, 1):
+            raise ValueError(
+                f"mesh spec {spec}: pipe does not compose with data/"
+                f"spatial/model axes (BN statistics would become "
+                f"per-shard); use mesh: {{pipe: {p}}} alone")
+        if len(devices) < p:
+            raise ValueError(
+                f"mesh spec {spec} needs {p} devices, have {len(devices)}")
+        if p < len(devices):
+            import warnings
+
+            warnings.warn(
+                f"mesh spec {spec} uses {p} of {len(devices)} devices; "
+                f"{len(devices) - p} chip(s) will idle.", stacklevel=2)
+        return Mesh(np.asarray(devices[:p]), axis_names=("pipe",))
     if s <= 1 and m <= 1:
         return make_mesh(devices if d in (-1, 0) else devices[:d],
                          batch_size=batch_size)
@@ -224,7 +246,11 @@ def make_mesh_from_config(spec: dict, devices=None,
 def input_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for input batches on any job mesh: batch over ``data``,
     plus height bands over ``spatial`` when the mesh has that axis (the
-    ``model`` axis never shards inputs -- it shards parameters)."""
+    ``model`` axis never shards inputs -- it shards parameters).  A
+    ``pipe`` mesh replicates inputs: the GPipe schedule splits the batch
+    into microbatches itself."""
+    if "pipe" in mesh.axis_names:
+        return NamedSharding(mesh, P())
     if "spatial" in mesh.axis_names:
         return NamedSharding(mesh, P("data", "spatial"))
     return NamedSharding(mesh, P(mesh.axis_names[0]))

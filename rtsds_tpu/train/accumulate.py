@@ -71,8 +71,10 @@ def make_accumulating_train_step(ignore_index: int | None = 19,
 
         zero_grads = jax.tree_util.tree_map(
             lambda p: jnp.zeros_like(p), state.params)
-        init = (state.batch_stats, zero_grads, jnp.float32(0.0),
-                jnp.int32(0))
+        # result_type keeps the carry x64-clean under f64 parity runs
+        init = (state.batch_stats, zero_grads,
+                jnp.zeros((), jnp.result_type(float)),
+                jnp.zeros((), jnp.result_type(int)))
         (batch_stats, grad_sum, loss_sum, correct), _ = jax.lax.scan(
             body, init, (images, labels))
 
