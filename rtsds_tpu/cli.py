@@ -636,8 +636,14 @@ def _main(argv=None):
                     "pipe_microbatches instead of accumulate_steps")
             from rtsds_tpu.train.pipelined import make_pipelined_train_step
 
-            n_micro = int(tcfg.get("pipe_microbatches")
-                          or mesh.shape["pipe"])
+            n_micro_cfg = tcfg.get("pipe_microbatches")
+            n_micro = (mesh.shape["pipe"] if n_micro_cfg is None
+                       else int(n_micro_cfg))
+            if n_micro < 1:
+                raise SystemExit(
+                    f"training.segmentation.pipe_microbatches "
+                    f"{n_micro_cfg} must be >= 1 (or null for the pipe "
+                    f"size)")
             if bs % n_micro:
                 raise SystemExit(
                     f"batch_size {bs} does not split into {n_micro} "

@@ -180,8 +180,9 @@ def make_mesh_from_config(spec: dict, devices=None,
     ``spec`` keys (all optional): ``data`` (-1 = fill with the remaining
     devices), ``spatial`` (height-band parallelism), ``model`` (FSDP
     parameter sharding), ``pipe`` (GPipe pipeline over DeepLab's layer3,
-    ``train/pipelined.py``; exclusive with the other axes -- inputs are
-    replicated and the schedule owns the devices).  A pure-data spec keeps
+    ``train/pipelined.py``; -1 = all devices; exclusive with the other
+    axes -- inputs are replicated and the schedule owns the devices;
+    single-process only).  A pure-data spec keeps
     :func:`make_mesh`'s batch-divisibility trimming; composed specs
     require the device count to divide exactly.
     """
@@ -192,6 +193,11 @@ def make_mesh_from_config(spec: dict, devices=None,
     s = int(spec.get("spatial", 1))
     m = int(spec.get("model", 1))
     p = int(spec.get("pipe", 1))
+    if p in (-1, 0):  # same convention as data: fill with all devices
+        p = len(devices)
+    elif p < -1:
+        raise ValueError(f"mesh spec {spec}: pipe must be a positive "
+                         f"stage count or -1 (all devices)")
     if p > 1:
         # pipeline stages compute BN statistics per microbatch; a data or
         # spatial axis inside the schedule would silently turn sync-BN
@@ -201,6 +207,11 @@ def make_mesh_from_config(spec: dict, devices=None,
                 f"mesh spec {spec}: pipe does not compose with data/"
                 f"spatial/model axes (BN statistics would become "
                 f"per-shard); use mesh: {{pipe: {p}}} alone")
+        if jax.process_count() > 1:
+            raise ValueError(
+                "mesh: {pipe: N} is single-process only: the schedule "
+                "replicates inputs, which is incompatible with "
+                "per-process sharded loading (--multihost)")
         if len(devices) < p:
             raise ValueError(
                 f"mesh spec {spec} needs {p} devices, have {len(devices)}")

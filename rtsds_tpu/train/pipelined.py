@@ -34,7 +34,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from rtsds_tpu.ops.losses import segmentation_loss
-from rtsds_tpu.parallel.pipeline import pipeline_apply_stateful
+from rtsds_tpu.parallel.pipeline import (
+    pipeline_apply_stateful,
+    stack_block_params,
+)
 
 
 def _deeplab_segments(model):
@@ -143,10 +146,9 @@ def make_pipelined_train_step(model, mesh: Mesh, ignore_index: int | None = 19,
             f"{len(pipe_names)} homogeneous layer3 blocks (layers="
             f"{model.layers}) do not split over pipe={n_stages} stages; "
             f"valid pipe sizes: {valid}")
-    n_micro = int(num_microbatches or n_stages)
-
-    def stack(tree_list):
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *tree_list)
+    n_micro = n_stages if num_microbatches is None else int(num_microbatches)
+    if n_micro < 1:
+        raise ValueError(f"num_microbatches={num_microbatches} must be >= 1")
 
     def train_step(state, images, labels):
         if images.shape[0] % n_micro:
@@ -171,8 +173,8 @@ def make_pipelined_train_step(model, mesh: Mesh, ignore_index: int | None = 19,
             stats_after_front, hs = jax.lax.scan(front_body, stats, imgs)
 
             # layer3_1..n: the GPipe schedule over the pipe axis
-            stacked_p = stack([params[n] for n in pipe_names])
-            stacked_s = stack([stats[n] for n in pipe_names])
+            stacked_p = stack_block_params([params[n] for n in pipe_names])
+            stacked_s = stack_block_params([stats[n] for n in pipe_names])
             hs, new_stacked_s = pipeline_apply_stateful(
                 pipe_fn, stacked_p, stacked_s, hs, mesh)
 

@@ -147,6 +147,25 @@ def test_pipe_mesh_from_config():
         make_mesh_from_config({"pipe": 2, "spatial": 2})
     with pytest.raises(ValueError, match="needs 16 devices"):
         make_mesh_from_config({"pipe": 16})
+    # -1 fills all devices (data-axis convention), not a silent no-op
+    mesh = make_mesh_from_config({"pipe": -1})
+    assert mesh.axis_names == ("pipe",)
+    assert mesh.shape["pipe"] == len(jax.devices())
+    with pytest.raises(ValueError, match="positive stage count"):
+        make_mesh_from_config({"pipe": -3})
+
+
+def test_pipe_microbatch_validation(tmp_path):
+    model = DeepLabV2(num_classes=5, layers=LAYERS)
+    mesh = make_mesh(jax.devices()[:4], axis_name="pipe")
+    with pytest.raises(ValueError, match="must be >= 1"):
+        make_pipelined_train_step(model, mesh, num_microbatches=0)
+    cfg = _config(tmp_path, {"mesh": {"pipe": 2},
+                             "training.segmentation.pipe_microbatches": 0})
+    from rtsds_tpu import cli
+
+    with pytest.raises(SystemExit, match="must be >= 1"):
+        cli.main(["--config", cfg, "--synthetic", "--model", "deeplab"])
 
 
 def test_pipe_mesh_inputs_replicated():
