@@ -154,8 +154,12 @@ def build_adversarial(config):
     """DA path (``main.py:169-202``): (generator, discriminator) bundles.
 
     Generator LR: poly over ``epochs * iterations`` total steps, gated by
-    ``lr_decay_iter`` (``train.py:178-181``).  Discriminator LR: poly decayed
-    once per *epoch* with ``max_iter = epochs`` (``train.py:167``).
+    ``lr_decay_iter`` (``train.py:178-181``).  Discriminator LR is
+    variant-dependent: v1 decays once per *epoch* with ``max_iter =
+    epochs`` (``train.py:167``); v2 decays per iteration over ``epochs *
+    iterations`` like the generator (``train.py:386-388``; the reference
+    there also decays the generator with ``dis_power`` -- an uncatalogued
+    copy-paste slip we build to intent with ``gen_power``).
     """
     adv_cfg = config.model.get("adversarial_model")
     tcfg = config.training.get("domain_adaptation")
@@ -196,8 +200,12 @@ def build_adversarial(config):
         raise ValueError(f"unknown discriminator {dis_cfg['name']!r}")
     dis_lr = float(dis_cfg["optimizer"]["lr"])
     dis_power = float(dis_cfg["power_lr_factor"])
-    dis_sched = with_warmup(
-        poly_epoch_schedule(dis_lr, epochs, dis_power, iterations), warmup)
+    if str(tcfg.get("variant", "v1")) == "v2":
+        dis_decay = poly_lr_schedule(dis_lr, epochs * iterations, dis_power,
+                                     lr_decay_iter)
+    else:
+        dis_decay = poly_epoch_schedule(dis_lr, epochs, dis_power, iterations)
+    dis_sched = with_warmup(dis_decay, warmup)
     dis_tx = _make_tx(dis_cfg["optimizer"], dis_sched, None, discriminator,
                       dtype)
     dis_bundle = ModelBundle(

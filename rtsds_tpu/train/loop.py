@@ -234,7 +234,9 @@ def adversarial_fit(gen_state, dis_state, da_step, source_iter, target_iter,
                                    return_preds=plot_cbs)
     loss_keys = ["loss_gen_source", "loss_adversarial", "loss_pseudo",
                  "pl_coverage", "mix_coverage", "loss_entropy",
-                 "loss_disc_source", "loss_disc_target"]
+                 "loss_disc_source", "loss_disc_target",
+                 # v2-only totals (reference train.py:480-483 epoch logs)
+                 "loss_gen_total", "loss_disc_total"]
     ema_apply = None
     if ema_in_step:
         # the fused step owns the teacher update; seed/commit only (a

@@ -73,3 +73,39 @@ def test_fc_discriminator_selectable(key):
     from rtsds_tpu.models.discriminator import DomainDiscriminator
 
     assert isinstance(dis_bundle.model, DomainDiscriminator)
+
+
+def test_v2_discriminator_lr_decays_per_iteration():
+    """v1 holds the D LR within an epoch (poly over epochs,
+    train.py:167); v2 decays it every iteration like the generator
+    (train.py:386-388).  Probed through the factory-built optimizer: for
+    Adam with constant gradients the bias-corrected update magnitude is
+    the scheduled LR (f64 so schedule shape dominates eps noise)."""
+    import numpy as np
+
+    def lr_trace(cfg, steps):
+        _, dis_bundle = build_adversarial(cfg)
+        params = {"w": jnp.zeros((1,), jnp.float64)}
+        opt_state = dis_bundle.tx.init(params)
+        grads = {"w": jnp.ones((1,), jnp.float64)}
+        lrs = []
+        for _ in range(steps):
+            updates, opt_state = dis_bundle.tx.update(grads, opt_state,
+                                                      params)
+            lrs.append(float(-updates["w"][0]))
+        return lrs
+
+    with jax.enable_x64(True):
+        small = {"epochs": 2, "iterations": 4}
+        cfg1 = default_config().replace(
+            training={"domain_adaptation": small})
+        cfg2 = default_config().replace(
+            training={"domain_adaptation": {**small, "variant": "v2"}})
+        dis_lr = float(cfg1.model["adversarial_model"]["discriminator"]
+                       ["optimizer"]["lr"])
+        v1, v2 = lr_trace(cfg1, 4), lr_trace(cfg2, 4)
+    np.testing.assert_allclose(v1[0], dis_lr, rtol=1e-6)
+    np.testing.assert_allclose(v2[0], dis_lr, rtol=1e-6)
+    # v1: flat inside epoch 0; v2: strictly decaying per iteration
+    np.testing.assert_allclose(v1, [v1[0]] * 4, rtol=1e-9)
+    assert all(b < a * (1 - 1e-6) for a, b in zip(v2, v2[1:])), v2

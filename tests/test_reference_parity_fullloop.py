@@ -438,6 +438,10 @@ def test_adversarial_fullloop_parity(monkeypatch, tmp_path, streams):
         assert abs(a - b) < 1e-3, f"epoch {e}: ours {a:.6f} vs ref {b:.6f}"
 
     # final post-training parameters of BOTH networks
+    _assert_both_nets_close(ours_gen, ref_gen, ours_dis, ref_dis)
+
+
+def _assert_both_nets_close(ours_gen, ref_gen, ours_dis, ref_dis):
     from rtsds_tpu.models.pretrained import convert_torch_state_dict
 
     for ours_tree, torch_model, adapt, tag in (
@@ -452,3 +456,131 @@ def test_adversarial_fullloop_parity(monkeypatch, tmp_path, streams):
             _assert_leaf_norm_close(ours_leaf, np.asarray(node),
                                     tag + ":" + "/".join(p.key
                                                          for p in path))
+
+
+# ---------------------------------------------------------------------------
+# adversarial DA v2: reference adversarial_train_2() vs adversarial_fit
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_adversarial_v2_fullloop_parity(monkeypatch, tmp_path, streams):
+    """Multi-epoch parity for the v2 loop (``train.py:322-500``) — the
+    semantics a one-iteration test cannot see: the epoch-dependent
+    ``lambda_adv = max(λ, 10λ − 0.001·epoch)`` schedule, BN running
+    stats advancing FOUR forwards per iteration (G phase src+tgt, then
+    the D phase's no-grad recompute on the updated G), per-iteration
+    poly LR decay for BOTH networks (v1 decays D per epoch), and the
+    reference's validation gating (``epoch % do_validation == 0 and
+    epoch != 0`` — epoch 0 is skipped, ``train.py:490``).
+
+    The reference decays the GENERATOR with ``dis_power``
+    (``train.py:388``) — an uncatalogued copy-paste slip.  Both powers
+    are set equal here so the slip is unobservable and the comparison
+    pins everything else; the production factory builds to intent
+    (``train/factory.py:build_adversarial``).
+
+    v2 fires no per-batch callbacks (``train.py`` logs only epoch
+    aggregates), so the trajectory gates are the per-epoch averaged
+    losses — iteration-0 structural tightness is already pinned by the
+    one-iteration v2 test (``test_reference_parity_da.py``).
+    """
+    from rtsds_tpu.models.bisenet import BiSeNet
+    from rtsds_tpu.models.discriminator import TinyDomainDiscriminator
+    from rtsds_tpu.train.adversarial import make_adversarial_step
+    from rtsds_tpu.train.loop import adversarial_fit
+    from rtsds_tpu.train.optim import make_optimizer
+    from rtsds_tpu.utils.schedules import poly_lr_schedule
+
+    monkeypatch.chdir(tmp_path)
+    ref = load_reference_training(monkeypatch)
+    ref_gen = _make_ref_bisenet(monkeypatch)
+    ref_da = __import__("reference_loader").load_reference_da_models()
+    torch.manual_seed(7)
+    ref_dis = ref_da.TinyDomainDiscriminator(19).double()
+
+    iterations = 3
+    lambda_ = 0.1
+    power = 0.9  # same for G and D: makes the ref's gen-power slip moot
+    src, tgt, val = streams["src"], streams["tgt"], streams["val"]
+    max_iter = EPOCHS * iterations
+
+    # ---- ours: production fused v2 step + production loop ----------------
+    with jax.enable_x64(True):
+        gen_model = BiSeNet(num_classes=19, context_path="resnet18",
+                            fast_head=False)
+        gen_tx = make_optimizer(
+            "Adam", poly_lr_schedule(GEN_LR, max_iter, power, 1))
+        gen_state = _converted_state(ref_gen, gen_model,
+                                     jnp.asarray(src[0][0]),
+                                     jax.random.key(0), gen_tx, train=True)
+        dis_model = TinyDomainDiscriminator(num_classes=19)
+        dis_tx = make_optimizer(
+            "Adam", poly_lr_schedule(DIS_LR, max_iter, power, 1),
+            weight_decay=1e-4)
+        dis_state = _converted_state(ref_dis, dis_model,
+                                     jnp.zeros((BATCH, *TGT_SIZE, 19)),
+                                     jax.random.key(1), dis_tx,
+                                     adapt=lambda sd: sd)
+
+        da_step = make_adversarial_step(
+            lambda_=lambda_, iterations=iterations, epochs=EPOCHS,
+            ignore_index=19, variant="v2", donate=False)
+        rec = _Recorder()
+        src_iter = itertools.cycle(
+            [(jnp.asarray(i), jnp.asarray(l)) for i, l in src])
+        tgt_iter = itertools.cycle(
+            [(jnp.asarray(i), jnp.asarray(l)) for i, l in tgt])
+        gen_state, dis_state, history = adversarial_fit(
+            gen_state, dis_state, da_step, src_iter, tgt_iter,
+            lambda e: iter([(jnp.asarray(i), jnp.asarray(l))
+                            for i, l in val]),
+            iterations=iterations, epochs=EPOCHS, num_classes=19,
+            class_names=CLASS_NAMES, callbacks=[rec], do_validation=1)
+        ours_gen = jax.tree_util.tree_map(np.asarray, gen_state.params)
+        ours_dis = jax.tree_util.tree_map(np.asarray, dis_state.params)
+
+    # ---- reference: the real adversarial_train_2() body -------------------
+    gen_opt = torch.optim.Adam(ref_gen.parameters(), lr=GEN_LR)
+    dis_opt = torch.optim.Adam(ref_dis.parameters(), lr=DIS_LR,
+                               weight_decay=1e-4)
+    ref_rec = _Recorder()
+    ref.train.adversarial_train_2(
+        iterations=iterations, epochs=EPOCHS, generator=ref_gen,
+        discriminator=ref_dis, generator_optimizer=gen_opt,
+        discriminator_optimizer=dis_opt,
+        source_dataloader=_CursorLoader(src),
+        target_dataloader=_CursorLoader(tgt),
+        generator_loss=torch.nn.CrossEntropyLoss(ignore_index=19),
+        discriminator_loss=torch.nn.BCEWithLogitsLoss(), lambda_=lambda_,
+        gen_init_lr=GEN_LR, gen_power=power, dis_power=power,
+        dis_init_lr=DIS_LR, lr_decay_iter=1, num_classes=19,
+        class_names=CLASS_NAMES, val_loader=_ListLoader(val),
+        do_validation=1, device="cpu", when_print=10, callbacks=[ref_rec])
+
+    # per-epoch averaged 6-loss trajectory (v2's only loss telemetry,
+    # train.py:475-484), at the measured chaotic-amplification headroom
+    loss_keys = ("loss_gen_source", "loss_adversarial", "loss_disc_source",
+                 "loss_disc_target", "loss_gen_total", "loss_disc_total")
+    assert len(rec.batch_logs) == EPOCHS * iterations
+    assert len(ref_rec.epoch_logs) == EPOCHS
+    for e in range(EPOCHS):
+        epoch_logs = rec.batch_logs[e * iterations:(e + 1) * iterations]
+        for k in loss_keys:
+            ours_avg = float(np.mean([lg[k] for lg in epoch_logs]))
+            np.testing.assert_allclose(
+                ours_avg, ref_rec.epoch_logs[e][k], rtol=3e-4,
+                err_msg=f"epoch {e}: {k}")
+        np.testing.assert_allclose(
+            history[e]["Generator Accuracy"],
+            ref_rec.epoch_logs[e]["Genrator Accuracy"], rtol=0, atol=0.1,
+            err_msg=f"epoch {e}: accuracy")
+
+    # validation: the reference skips epoch 0 (train.py:490) — its single
+    # val_GTA5 run is epoch 1, compared against our epoch-1 validation
+    assert len(ref_rec.val_logs) == 1
+    a = history[1]["validation_mIoU"]
+    b = ref_rec.val_logs[0]["validation_mIoU"]
+    assert abs(a - b) < 1e-3, f"epoch 1 mIoU: ours {a:.6f} vs ref {b:.6f}"
+
+    # final post-training parameters of BOTH networks
+    _assert_both_nets_close(ours_gen, ref_gen, ours_dis, ref_dis)
