@@ -23,8 +23,10 @@ order, gradients averaged, ONE optimizer update per step -- unit-tested
 equal to the accumulating step.  Stage parameters enter the schedule
 sharded over ``pipe`` (a free local slice of the replicated tree), so the
 train state, checkpoints, optimizer masks, EMA, and serving are all
-unchanged; compose with ``mesh: {model: N}`` FSDP when parameter HBM
-itself is the constraint.
+unchanged.  The mesh deliberately rejects composing ``pipe`` with the
+data/spatial/model axes (a data axis inside the schedule would silently
+turn sync-BN into per-shard BN); when parameter HBM is the constraint,
+use ``mesh: {model: N}`` FSDP instead of pipelining.
 """
 
 from __future__ import annotations
