@@ -155,6 +155,16 @@ def test_pipe_mesh_from_config():
         make_mesh_from_config({"pipe": -3})
 
 
+def test_pipe_mesh_rejects_multihost(monkeypatch):
+    """The schedule replicates inputs -- incompatible with per-process
+    sharded loading, so multi-process runs are rejected up front."""
+    import rtsds_tpu.parallel.mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="single-process only"):
+        make_mesh_from_config({"pipe": 2})
+
+
 def test_pipe_microbatch_validation(tmp_path):
     model = DeepLabV2(num_classes=5, layers=LAYERS)
     mesh = make_mesh(jax.devices()[:4], axis_name="pipe")
