@@ -29,6 +29,17 @@ import os
 import sys
 
 
+_V5E_BF16_PEAK_FLOPS = 197e12  # per chip
+
+
+def _mfu(flops: float, mean_ms: float):
+    """MFU against the v5e bf16 peak; None when FLOPs are unavailable."""
+    mean_s = mean_ms / 1e3
+    if flops != flops or mean_s <= 0:  # NaN guard
+        return None
+    return flops / mean_s / _V5E_BF16_PEAK_FLOPS
+
+
 def main():
     model = os.environ.get("BENCH_MODEL", "bisenet")
     iters = int(os.environ.get("BENCH_ITERS", "4"))
@@ -52,10 +63,9 @@ def main():
             image_size=size, batch_size=batch, iterations=iters,
             repeats=repeats, warmup=1)
 
-    # MFU against the v5e bf16 peak (197 TFLOP/s/chip); flops from the HLO
+    # MFU against the v5e bf16 peak; flops from the HLO cost analysis
     flops = stats.get("flops_per_call", float("nan"))
-    mean_s = stats["mean_ms"] / 1e3
-    mfu = flops / mean_s / 197e12 if flops == flops and mean_s > 0 else None
+    mfu = _mfu(flops, stats["mean_ms"])
 
     result = {
         "metric": f"{model}_{size[0]}x{size[1]}_inference_fps_per_chip",
@@ -114,10 +124,8 @@ def main():
             dl = deeplab_inference_benchmark(
                 image_size=(512, 1024), batch_size=8, iterations=2,
                 repeats=2, warmup=1)
-            dl_flops = dl.get("flops_per_call", float("nan"))
-            dl_mean_s = dl["mean_ms"] / 1e3
-            dl_mfu = (dl_flops / dl_mean_s / 197e12
-                      if dl_flops == dl_flops and dl_mean_s > 0 else None)
+            dl_mfu = _mfu(dl.get("flops_per_call", float("nan")),
+                          dl["mean_ms"])
             models["deeplab_512x1024_serving"] = {
                 "fps_per_chip": round(dl["fps"], 2),
                 "p50_ms": round(dl["p50_ms"], 3),
@@ -150,5 +158,42 @@ def main():
     print(json.dumps(result))
 
 
+def _supervise():
+    """Run the benchmarks in a CHILD process; retry once on failure.
+
+    The transient failure observed on a loaded box (round-3 notes: one
+    bench run exited 1 with NO output; the immediate re-run was green) is
+    the bench *process* dying -- not a Python exception -- so an
+    in-process try/except can never catch it, and an in-process re-exec
+    would replace a claimant that may already hold the axon chip without
+    interpreter teardown (stale-grant hazard).  The parent here never
+    imports jax, so it never claims the chip; each attempt is a fresh,
+    cleanly separated claimant process.  "Failure" = nonzero exit OR
+    empty stdout (the observed mode).
+    """
+    import subprocess
+    import time
+
+    env = {**os.environ, "RTSDS_BENCH_CHILD": "1"}
+    proc = None
+    for attempt in (1, 2):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True)
+        sys.stderr.write(proc.stderr)
+        if proc.returncode == 0 and proc.stdout.strip():
+            sys.stdout.write(proc.stdout)
+            return 0
+        if attempt == 1:
+            print(f"bench: attempt 1 failed (exit {proc.returncode}, "
+                  f"{len(proc.stdout)} bytes of stdout); retrying once",
+                  file=sys.stderr)
+            time.sleep(10)  # give a possible stale chip grant a moment
+    sys.stdout.write(proc.stdout)
+    return proc.returncode or 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("RTSDS_BENCH_CHILD"):
+        sys.exit(main())
+    sys.exit(_supervise())

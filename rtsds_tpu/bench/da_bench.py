@@ -149,10 +149,19 @@ def main():
                               lambda_ent=lambda_ent, fda_beta=fda_beta,
                               classmix=classmix, variant=variant)
     sps = stats["steps_per_sec"]
-    print(json.dumps({
-        "metric": ("da_self_training_steps_per_sec"
-                   if effective_self_training
-                   else "da_train_steps_per_sec"),
+    if effective_self_training:
+        metric = "da_self_training_steps_per_sec"
+    elif variant != "v1":
+        metric = f"da_{variant}_train_steps_per_sec"
+    else:
+        metric = "da_train_steps_per_sec"
+    # the BASELINE ">5x A100" gate is defined on the PLAIN v1 step; any
+    # other configuration is a coverage record, marked so its (lower)
+    # rate cannot be misread as a gate regression
+    gated = (variant == "v1" and not effective_self_training
+             and lambda_ent == 0 and fda_beta == 0)
+    out = {
+        "metric": metric,
         "value": round(sps, 3),
         "unit": "steps/sec",
         # single chip vs the derived single-A100 reference rate
@@ -162,7 +171,11 @@ def main():
             sps * V5E8_CHIPS
             / (A100_REFERENCE_STEPS_PER_SEC * TARGET_MULTIPLE), 3),
         **{k: v for k, v in stats.items() if k != "steps_per_sec"},
-    }))
+    }
+    if not gated:
+        out["caveat"] = ("baseline target defined on the plain v1 step; "
+                        "this configuration is a coverage record")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -195,6 +195,20 @@ def make_mesh_from_config(spec: dict, devices=None,
     p = int(spec.get("pipe", 1))
     if p in (-1, 0):  # same convention as data: fill with all devices
         p = len(devices)
+        if p == 1:
+            # pipe: -1 on a single-device box silently becomes a plain
+            # data mesh -- warn loudly, because pipe_microbatches is then
+            # ignored and the numerics (full-batch BN vs per-microbatch
+            # BN) differ from the multi-device run this config describes;
+            # accumulate_steps reproduces the microbatched semantics
+            import warnings
+
+            warnings.warn(
+                f"mesh spec {spec}: pipe resolved to a single device, so "
+                f"the job runs as a plain data mesh and pipe_microbatches "
+                f"is ignored; use training.*.accumulate_steps to "
+                f"reproduce per-microbatch numerics on one device",
+                stacklevel=2)
     elif p < -1:
         raise ValueError(f"mesh spec {spec}: pipe must be a positive "
                          f"stage count or -1 (all devices)")

@@ -149,70 +149,22 @@ def pipeline_apply(block_fn, stacked_params, x, mesh: Mesh,
 
     Returns the same result as applying the L blocks sequentially
     (unit-tested identical); every device sees the replicated output.
+
+    Implemented as the stats-free special case of
+    :func:`pipeline_apply_stateful` (empty state tree) so the subtle
+    schedule arithmetic -- ring permute, fill/drain windows, output slot
+    gather -- exists exactly once.
     """
     n_stages = mesh.shape[axis]
-    lengths = {leaf.shape[0]
-               for leaf in jax.tree_util.tree_leaves(stacked_params)}
-    if len(lengths) != 1:
-        raise ValueError(f"inconsistent stacked leading dims {lengths}")
-    (num_blocks,) = lengths
-    if num_blocks % n_stages:
-        raise ValueError(
-            f"{num_blocks} blocks do not split over {n_stages} stages")
     n_micro = num_microbatches or n_stages
     if x.shape[0] % n_micro:
         raise ValueError(
             f"batch {x.shape[0]} does not split into {n_micro} microbatches")
     xs = x.reshape(n_micro, x.shape[0] // n_micro, *x.shape[1:])
-    per_stage = num_blocks // n_stages
-    params_split = jax.tree_util.tree_map(
-        lambda p: p.reshape(n_stages, per_stage, *p.shape[1:]),
-        stacked_params)
-    in_specs = (jax.tree_util.tree_map(lambda _: P(axis), params_split),
-                P(None))
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
-             out_specs=P(None))
-    def run(local_params, xs):
-        # leading dim 1 after sharding over the pipe axis
-        local_params = jax.tree_util.tree_map(lambda p: p[0], local_params)
-        stage_idx = jax.lax.axis_index(axis)
+    def stateless_block(params_i, stats_i, x_mb):
+        return block_fn(params_i, x_mb), stats_i
 
-        def stage(x_mb):
-            y, _ = jax.lax.scan(
-                lambda c, p: (block_fn(p, c), None), x_mb, local_params)
-            return y
-
-        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
-        n_ticks = n_micro + n_stages - 1
-
-        def tick(t, state):
-            carry, out = state
-            # first stage ingests microbatch t (fill phase); garbage fed
-            # during the drain phase (t >= M) can never reach the last
-            # stage before the loop ends
-            x_in = jnp.where(stage_idx == 0,
-                             xs[jnp.clip(t, 0, n_micro - 1)], carry)
-            y = stage(x_in)
-            # last stage owns microbatch t-(P-1)'s result
-            slot = t - (n_stages - 1)
-            cs = jnp.clip(slot, 0, n_micro - 1)
-            cur = jax.lax.dynamic_index_in_dim(out, cs, 0, keepdims=False)
-            val = jnp.where((stage_idx == n_stages - 1) & (slot >= 0),
-                            y, cur)
-            out = jax.lax.dynamic_update_index_in_dim(out, val, cs, 0)
-            carry = jax.lax.ppermute(y, axis, perm)
-            return carry, out
-
-        # mark the zero-initialized carries as varying over the pipe axis
-        # (the loop body's outputs are; scan requires matching types)
-        carry0 = jax.lax.pcast(jnp.zeros(xs.shape[1:], xs.dtype),
-                               (axis,), to="varying")
-        out0 = jax.lax.pcast(jnp.zeros_like(xs), (axis,), to="varying")
-        _, out = jax.lax.fori_loop(0, n_ticks, tick, (carry0, out0))
-        # only the last stage wrote real data; psum replicates it
-        return jax.lax.psum(
-            jnp.where(stage_idx == n_stages - 1, out, 0), axis)
-
-    out = run(params_split, xs)
+    out, _ = pipeline_apply_stateful(
+        stateless_block, stacked_params, {}, xs, mesh, axis=axis)
     return out.reshape(x.shape[0], *out.shape[2:])

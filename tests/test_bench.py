@@ -86,3 +86,60 @@ def test_da_step_benchmark_v2_variant():
     assert stats["variant"] == "v2"
     assert stats["steps_per_sec"] > 0
     assert stats["ms_per_step"] >= 0
+
+
+def _load_bench_module():
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    spec = importlib.util.spec_from_file_location("bench_root", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_supervisor_retry_semantics(monkeypatch, capsys):
+    """The driver-bench supervisor (bench.py:_supervise) runs the bench in
+    a child process and retries exactly once on the observed transient
+    failure modes: nonzero exit OR empty stdout.  The parent must never
+    import jax (chip-claim isolation), so the logic is testable with a
+    stubbed subprocess."""
+    import subprocess
+    import time
+    import types
+
+    bench = _load_bench_module()
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+
+    def make_run(results):
+        calls = []
+
+        def fake_run(cmd, env=None, capture_output=None, text=None):
+            assert env.get("RTSDS_BENCH_CHILD") == "1"
+            calls.append(cmd)
+            rc, out = results[min(len(calls), len(results)) - 1]
+            return types.SimpleNamespace(returncode=rc, stdout=out,
+                                         stderr="")
+
+        return fake_run, calls
+
+    # success first try: no retry, stdout passed through
+    run, calls = make_run([(0, '{"metric": "x"}\n')])
+    monkeypatch.setattr(subprocess, "run", run)
+    assert bench._supervise() == 0
+    assert len(calls) == 1
+    assert capsys.readouterr().out == '{"metric": "x"}\n'
+
+    # exit-0-but-empty-stdout (the documented axon hiccup): retried once
+    run, calls = make_run([(0, ""), (0, '{"metric": "y"}\n')])
+    monkeypatch.setattr(subprocess, "run", run)
+    assert bench._supervise() == 0
+    assert len(calls) == 2
+    assert capsys.readouterr().out == '{"metric": "y"}\n'
+
+    # two failures: gives up with the child's exit code, exactly 2 tries
+    run, calls = make_run([(1, ""), (3, "partial")])
+    monkeypatch.setattr(subprocess, "run", run)
+    assert bench._supervise() == 3
+    assert len(calls) == 2
