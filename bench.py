@@ -135,6 +135,21 @@ def main():
                                          if dl_mfu is not None else None),
             }
 
+        # W8A8 int8 DeepLab serving (models/deeplab_int8.py, measured-
+        # winning policy: 3x3s + 1x1 expansions) -- the quantized record
+        # is kept driver-reproduced so the +13% claim cannot rot
+        if os.environ.get("BENCH_QUANT", "1") != "0":
+            from rtsds_tpu.bench.quant_bench import bench_e2e
+
+            q = bench_e2e(batch=8, iterations=2, repeats=2)
+            models["deeplab_512x1024_int8_serving"] = {
+                "fps_per_chip": q["default"]["int8_fps"],
+                "p50_ms": q["default"]["int8_ms"],
+                "speedup_vs_bf16": q["default"]["speedup"],
+                "batch_size": 8,
+                "quantized_convs": q["default"]["quantized_convs"],
+            }
+
         # DA v2-variant step rate (reference train.py:322-500); the
         # BASELINE ">5x A100" gate is DEFINED ON V1 -- this records the
         # variant's cost so it cannot silently rot between rounds

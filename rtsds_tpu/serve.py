@@ -145,6 +145,15 @@ class Predictor:
       protocol_kwargs: forwarded to the protocol builder, e.g.
         ``{"scales": (0.75, 1.0, 1.25), "flip": True}`` or
         ``{"window": (1024, 2048), "stride": None}``.
+      quantize: ``"int8"`` serves DeepLab through the W8A8 post-training
+        quantized path (``models/deeplab_int8.py``: BN folded, int8
+        convs on the MXU's 2x-rate path).  Requires ``calib_frames``.
+        BiSeNet is rejected -- int8 measured as a LOSS on its
+        bandwidth-bound profile (PERF.md round 2).
+      calib_frames: (N, H, W, 3) uint8 frames used once at construction
+        to calibrate the static activation scales (a handful of
+        representative frames; they go through the production
+        preprocess).  Required with ``quantize``.
     """
 
     def __init__(self, model_name: str = "bisenet", variables: dict | None = None,
@@ -154,7 +163,9 @@ class Predictor:
                  correct_preprocessing: bool = False,
                  mesh=None, sharding: str = "batch",
                  protocol: str = "plain",
-                 protocol_kwargs: dict | None = None):
+                 protocol_kwargs: dict | None = None,
+                 quantize: str | None = None,
+                 calib_frames=None):
         if model_name == "bisenet":
             self.model = BiSeNet(num_classes=num_classes,
                                  context_path=backbone, dtype=dtype,
@@ -178,6 +189,38 @@ class Predictor:
             key = jax.random.key(0)
             dummy = jnp.zeros((batch_size, *self.image_size, 3), jnp.float32)
             variables = self.model.init(key, dummy, train=False)
+
+        # W8A8 quantization happens BEFORE mesh replication so the int8
+        # weight tree is what gets replicated/donated downstream
+        self.quantize = quantize
+        apply_fn = self.model.apply
+        if quantize is not None:
+            if quantize != "int8":
+                raise ValueError(f"unknown quantize mode {quantize!r} "
+                                 f"(supported: 'int8')")
+            if model_name != "deeplab":
+                raise ValueError(
+                    "quantize='int8' is implemented for deeplab only "
+                    "(int8 measured as a loss on bisenet's bandwidth-"
+                    "bound conv profile, PERF.md)")
+            if calib_frames is None:
+                raise ValueError(
+                    "quantize='int8' needs calib_frames: a few "
+                    "representative (N, H, W, 3) uint8 frames to "
+                    "calibrate the static activation scales")
+            from rtsds_tpu.models.deeplab_int8 import (
+                build_quantized, calibrate, deeplab_int8_apply)
+
+            calib = np.asarray(calib_frames, dtype=np.uint8)
+            if calib.ndim == 3:
+                calib = calib[None]
+            calib_x = normalize(jnp.asarray(calib, jnp.float32),
+                                correct_preprocessing)
+            scales = calibrate(variables, [calib_x])
+            variables = build_quantized(variables, scales)
+
+            def apply_fn(qtree, x, train=False):
+                return deeplab_int8_apply(qtree, x)
 
         # multi-chip serving: replicate weights over the mesh and shard
         # the incoming frame batch ('batch', the throughput mode) or each
@@ -211,7 +254,6 @@ class Predictor:
         else:
             self.variables = jax.device_put(variables)
 
-        model = self.model
         correct = correct_preprocessing
 
         protocol_fn = None
@@ -219,12 +261,12 @@ class Predictor:
             from rtsds_tpu.eval.ensemble import make_ensemble_predict
 
             protocol_fn = make_ensemble_predict(
-                model.apply, self.image_size, **(protocol_kwargs or {}))
+                apply_fn, self.image_size, **(protocol_kwargs or {}))
         elif protocol == "sliding":
             from rtsds_tpu.eval.sliding import make_sliding_predict
 
             protocol_fn = make_sliding_predict(
-                model.apply, self.image_size, **(protocol_kwargs or {}))
+                apply_fn, self.image_size, **(protocol_kwargs or {}))
         elif protocol != "plain":
             raise ValueError(f"unknown serving protocol {protocol!r}")
         self.protocol = protocol
@@ -235,7 +277,7 @@ class Predictor:
             if protocol_fn is not None:
                 out = protocol_fn(variables, x)
             else:
-                logits = model.apply(variables, x, train=False)
+                logits = apply_fn(variables, x, train=False)
                 out = jnp.argmax(logits, axis=-1)
             # uint8 wire format: trainIds are < 256 and device->host is
             # the serving bottleneck through tunneled backends; callers
@@ -370,6 +412,11 @@ def main(argv=None):
                              "shards frames over chips (throughput, "
                              "bit-exact vs single device), 'spatial' "
                              "shards image height (single-frame latency)")
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["int8"],
+                        help="serve DeepLab through the W8A8 post-training"
+                             " quantized path (activation scales are "
+                             "calibrated on the given input images)")
     args = parser.parse_args(argv)
 
     if args.compilation_cache:
@@ -389,10 +436,18 @@ def main(argv=None):
                      "are single-device programs (export without --mesh)")
     if not args.images and not args.export:
         parser.error("no input images given")
+    if args.quantize and args.artifact:
+        parser.error("--quantize happens at predictor build time; the "
+                     "artifact is already a compiled program")
+    if args.quantize and not args.images:
+        parser.error("--quantize needs input images to calibrate the "
+                     "activation scales")
 
     from rtsds_tpu.data.pipeline import decode_image
 
     size = tuple(int(v) for v in args.size.replace(" ", "").split(","))
+    frames = (np.stack([decode_image(p, size) for p in args.images])
+              if args.images else None)
     if args.artifact:
         from rtsds_tpu.serve_export import load_predictor
 
@@ -407,6 +462,9 @@ def main(argv=None):
                       correct_preprocessing=args.correct_preprocessing,
                       protocol=args.protocol,
                       protocol_kwargs=protocol_kwargs)
+        if args.quantize:
+            kwargs["quantize"] = args.quantize
+            kwargs["calib_frames"] = frames
         if args.mesh:
             from rtsds_tpu.parallel.mesh import make_mesh
 
@@ -432,7 +490,10 @@ def main(argv=None):
         # too (previously they were silently ignored)
 
     os.makedirs(args.out, exist_ok=True)
-    frames = np.stack([decode_image(p, size) for p in args.images])
+    if args.artifact and frames is not None \
+            and frames.shape[1:3] != tuple(size):
+        # artifact may carry a different compiled size than --size
+        frames = np.stack([decode_image(p, size) for p in args.images])
     outputs = (predictor.predict_colored(frames) if args.colored
                else predictor.predict(frames))
     from PIL import Image

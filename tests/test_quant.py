@@ -1,0 +1,226 @@
+"""W8A8 post-training quantization: BN-fold exactness, weight-quant
+roundtrip, calibration, policy, and int8-vs-bf16 logits agreement on the
+DeepLabV2 serving path (``ops/quant.py``, ``models/deeplab_int8.py``).
+
+The reference has no quantization (torch fp32); this subsystem is a
+TPU-native serving extension, so the tests gate OUR claims: the folded
+walk must reproduce the flax model, and the quantized network must agree
+with its bf16 baseline at the mask level.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtsds_tpu.models.deeplabv2 import DeepLabV2
+from rtsds_tpu.models.deeplab_int8 import (
+    build_quantized,
+    calibrate,
+    deeplab_bf16_apply,
+    deeplab_int8_apply,
+    default_policy,
+    fold_deeplab,
+)
+from rtsds_tpu.ops.quant import fold_bn, quantize_kernel
+
+
+LAYERS = (1, 1, 1, 1)  # one bottleneck per stage: every conv kind present
+HW = (64, 128)
+
+
+@pytest.fixture(scope="module")
+def tiny_deeplab():
+    model = DeepLabV2(num_classes=19, layers=LAYERS)
+    key = jax.random.key(0)
+    x = jax.random.normal(jax.random.key(1), (2, *HW, 3), jnp.float32)
+    variables = model.init(key, x, train=False)
+    # non-trivial running stats (init is mean 0 / var 1 everywhere):
+    # advance them with a few train-mode applications so the BN fold is
+    # tested against real statistics
+    for i in range(3):
+        xi = 0.5 + 1.5 * jax.random.normal(jax.random.key(2 + i),
+                                           x.shape, jnp.float32)
+        _, mut = model.apply(variables, xi, train=True,
+                             mutable=["batch_stats"])
+        variables = {"params": variables["params"], **mut}
+    return model, variables, x
+
+
+def test_fold_bn_exact():
+    """conv+BN(inference) == folded conv, to f32 precision."""
+    key = jax.random.key(3)
+    kk, kx = jax.random.split(key)
+    kernel = jax.random.normal(kk, (3, 3, 8, 16), jnp.float32) * 0.1
+    x = jax.random.normal(kx, (2, 10, 12, 8), jnp.float32)
+    scale = jnp.linspace(0.5, 2.0, 16)
+    bias = jnp.linspace(-1.0, 1.0, 16)
+    mean = jnp.linspace(-0.3, 0.3, 16)
+    var = jnp.linspace(0.5, 1.5, 16)
+
+    y_ref = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y_ref = (y_ref - mean) * scale / jnp.sqrt(var + 1e-5) + bias
+
+    kf, bf = fold_bn(kernel, None, scale, bias, mean, var)
+    y = jax.lax.conv_general_dilated(
+        x, kf, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bf
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_kernel_roundtrip():
+    kernel = jax.random.normal(jax.random.key(4), (3, 3, 4, 8),
+                               jnp.float32)
+    w_q, w_scale = quantize_kernel(kernel)
+    assert w_q.dtype == jnp.int8
+    deq = w_q.astype(jnp.float32) * w_scale
+    # symmetric per-channel: error bounded by half a quantization step
+    step = np.asarray(w_scale)
+    err = np.abs(np.asarray(deq) - np.asarray(kernel))
+    assert (err <= 0.5 * step[None, None, None, :] + 1e-7).all()
+    # each output channel actually uses the int8 range
+    assert (np.abs(np.asarray(w_q)).max(axis=(0, 1, 2)) == 127).all()
+
+
+def test_folded_walk_matches_flax_model(tiny_deeplab):
+    """The hand-written folded forward reproduces the flax DeepLabV2
+    serving forward (f32, running-stats BN) -- the topology-parity gate
+    for everything the quantized path reuses."""
+    model, variables, x = tiny_deeplab
+    ref = model.apply(variables, x, train=False)
+    got = deeplab_bf16_apply(variables, x, dtype=jnp.float32,
+                             output_f32=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fold_inventory_complete(tiny_deeplab):
+    """Every conv in the param tree is folded exactly once."""
+    _, variables, _ = tiny_deeplab
+    folded = fold_deeplab(variables)
+    # stem + 4 stages x (3 convs + projection) + 4 ASPP branches
+    assert len(folded) == 1 + 4 * 4 + 4
+    for kernel, bias in folded.values():
+        assert bias is not None
+
+
+def test_calibrate_covers_every_conv(tiny_deeplab):
+    _, variables, x = tiny_deeplab
+    scales = calibrate(variables, [x, x * 2.0])
+    folded = fold_deeplab(variables)
+    assert set(scales) == set(folded)
+    assert all(s > 0 for s in scales.values())
+    # doubling the input doubles (at least) the stem's observed max
+    one = calibrate(variables, [x])
+    assert scales["conv1"] >= 2.0 * one["conv1"] - 1e-9
+
+
+def test_int8_masks_agree_with_bf16(tiny_deeplab):
+    """PTQ gate: the quantized network's argmax masks agree with the
+    bf16 baseline on nearly every pixel, and logits stay close."""
+    _, variables, x = tiny_deeplab
+    scales = calibrate(variables, [x])
+    qtree = build_quantized(variables, scales)
+    base = deeplab_bf16_apply(variables, x, output_f32=True)
+    quant = deeplab_int8_apply(qtree, x, output_f32=True)
+
+    rel = (np.linalg.norm(np.asarray(quant - base))
+           / max(np.linalg.norm(np.asarray(base)), 1e-12))
+    assert rel < 0.1, f"relative logits error {rel:.4f}"
+
+    m_base = np.asarray(jnp.argmax(base, -1))
+    m_quant = np.asarray(jnp.argmax(quant, -1))
+    agreement = (m_base == m_quant).mean()
+    assert agreement > 0.95, f"mask agreement {agreement:.4f}"
+
+
+def test_policy_keeps_aspp_bf16(tiny_deeplab):
+    _, variables, x = tiny_deeplab
+    scales = calibrate(variables, [x])
+    qtree = build_quantized(variables, scales, policy=default_policy)
+    assert not any(n.startswith("layer6/") for n in qtree["q8"])
+    assert all(f"layer6/conv2d_list_{i}" in qtree["bf16"]
+               for i in range(4))
+    # measured-winning convs are quantized: 3x3s + 1x1 expansions...
+    assert "layer3_0/conv2" in qtree["q8"]
+    assert "layer3_0/conv3" in qtree["q8"]
+    # ...while the stem and the wide 1x1 reductions stay bf16 (measured
+    # losses: the quantize pass over their wide inputs costs the win)
+    assert "conv1" in qtree["bf16"]
+    assert "layer3_0/conv1" in qtree["bf16"]
+
+
+def test_int8_apply_jits(tiny_deeplab):
+    """The serving forward compiles as one jit program over the qtree
+    pytree (dict keys static, weights as arguments -- never constants)."""
+    _, variables, x = tiny_deeplab
+    scales = calibrate(variables, [x])
+    qtree = build_quantized(variables, scales)
+    fn = jax.jit(lambda q, x: jnp.argmax(deeplab_int8_apply(q, x), -1))
+    m1 = fn(qtree, x)
+    m2 = fn(qtree, x)  # cached call
+    assert m1.shape == (x.shape[0], *HW)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+@pytest.mark.slow
+def test_predictor_int8_serving():
+    """Predictor(quantize='int8') serves DeepLab through the quantized
+    path: masks agree with the unquantized predictor; guard rails fire."""
+    from rtsds_tpu.serve import Predictor
+
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, size=(2, 32, 64, 3), dtype=np.uint8)
+    calib = rng.randint(0, 255, size=(2, 32, 64, 3), dtype=np.uint8)
+
+    base = Predictor(model_name="deeplab", image_size=(32, 64),
+                     batch_size=2)
+    quant = Predictor(model_name="deeplab", image_size=(32, 64),
+                      batch_size=2, quantize="int8", calib_frames=calib)
+    assert quant.quantize == "int8"
+    m_base = base.predict(frames)
+    m_quant = quant.predict(frames)
+    assert m_quant.shape == m_base.shape and m_quant.dtype == np.int32
+    agreement = (m_base == m_quant).mean()
+    assert agreement > 0.9, f"mask agreement {agreement:.4f}"
+
+    with pytest.raises(ValueError, match="calib_frames"):
+        Predictor(model_name="deeplab", image_size=(32, 64),
+                  quantize="int8")
+    with pytest.raises(ValueError, match="bisenet"):
+        Predictor(model_name="bisenet", image_size=(32, 64),
+                  quantize="int8", calib_frames=calib)
+    with pytest.raises(ValueError, match="unknown quantize"):
+        Predictor(model_name="deeplab", image_size=(32, 64),
+                  quantize="int4", calib_frames=calib)
+
+
+@pytest.mark.slow
+def test_quantized_predictor_exports():
+    """The W8A8 predictor AOT-exports (StableHLO) and the reloaded
+    artifact agrees with the live predictor.  NOT bit-exact: the export's
+    multi-platform lowering rounds the int8 quantize step slightly
+    differently, flipping only near-tie argmax pixels (~1% on random
+    weights; measured); the unquantized export roundtrip remains exact
+    (test_export.py)."""
+    import tempfile
+
+    from rtsds_tpu.serve import Predictor
+    from rtsds_tpu.serve_export import export_predictor, load_predictor
+
+    rng = np.random.RandomState(0)
+    calib = rng.randint(0, 255, (1, 32, 64, 3), dtype=np.uint8)
+    frames = rng.randint(0, 255, (1, 32, 64, 3), dtype=np.uint8)
+    live = Predictor(model_name="deeplab", image_size=(32, 64),
+                     batch_size=1, quantize="int8", calib_frames=calib)
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/q8.rtsds"
+        export_predictor(live, path)
+        aot = load_predictor(path)
+        m_live = live.predict(frames)
+        m_aot = aot.predict(frames)
+    agreement = (m_live == m_aot).mean()
+    assert agreement > 0.95, f"AOT mask agreement {agreement:.4f}"

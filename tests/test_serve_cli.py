@@ -124,3 +124,26 @@ def test_serve_cli_mesh_rejects_aot(tmp_path):
         serve.main([str(p), "--mesh", "batch", "--artifact", "a.rtsds"])
     with pytest.raises(SystemExit):
         serve.main(["--mesh", "batch", "--export", str(tmp_path / "a.r")])
+
+
+def test_serve_cli_quantize_flag(tmp_path):
+    """--quantize int8 serves DeepLab through the W8A8 path, calibrating
+    on the input images; misuse flags error out up front."""
+    import pytest
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(32, 64, 3), dtype=np.uint8)
+    p = tmp_path / "frame.png"
+    Image.fromarray(img).save(p)
+    out = tmp_path / "out"
+
+    serve.main([str(p), "--size", "32, 64", "--out", str(out),
+                "--model", "deeplab", "--quantize", "int8"])
+    mask = np.asarray(Image.open(out / "frame_mask.png"))
+    assert mask.shape == (32, 64) and mask.max() < 19
+
+    with pytest.raises(SystemExit):  # no images to calibrate on
+        serve.main(["--size", "32, 64", "--model", "deeplab",
+                    "--quantize", "int8",
+                    "--export", str(tmp_path / "x.rtsds")])
