@@ -115,9 +115,13 @@ def bench_shape(name, batch, h, w, cin, cout, k, dilation,
     r = latency_benchmark(run_bf16, (w_bf, x_bf), iterations=iterations,
                           repeats=repeats, warmup=1, chain_index=1)
     out["bf16_ms"] = round(r["mean_ms"], 4)
+    # chain through x_q (NOT the dequant scale): a scale-chained conv has
+    # loop-invariant operands and XLA hoists it out of the timing loop.
+    # The int8 perturbation (acc*1e-12).astype(int8) rounds to zero but
+    # is data-dependent at compile time, so the dependency holds.
     r = latency_benchmark(run_int8_static, (w_q, x_q, deq),
                           iterations=iterations, repeats=repeats, warmup=1,
-                          chain_index=2)
+                          chain_index=1)
     out["int8_static_ms"] = round(r["mean_ms"], 4)
     r = latency_benchmark(run_int8_dynamic, (w_q, x_bf, w_scale),
                           iterations=iterations, repeats=repeats, warmup=1,
@@ -131,7 +135,8 @@ def bench_shape(name, batch, h, w, cin, cout, k, dilation,
     return out
 
 
-def bench_e2e(batch=8, image_size=(512, 1024), iterations=8, repeats=2):
+def bench_e2e(batch=8, image_size=(512, 1024), iterations=8, repeats=2,
+              policy_names=None):
     """Whole-network serving comparison at the production shape: the W8A8
     quantized DeepLabV2 (``models/deeplab_int8.py``, default policy)
     vs the bf16 flax serving path, both through forward+argmax.  This is
@@ -183,9 +188,16 @@ def bench_e2e(batch=8, image_size=(512, 1024), iterations=8, repeats=2):
                 "conv3x3_exp": p_3x3_exp,
                 "conv3x3_stem_exp": p_3x3_stem_exp}
     # default run benches only the shipped policy (each variant is a
-    # full-network compile); QB_POLICIES=a,b,c selects others
-    sel = os.environ.get("QB_POLICIES", "default")
-    policies = {k: policies[k] for k in sel.split(",")}
+    # full-network compile); QB_POLICIES=a,b,c selects others for the
+    # CLI, while programmatic callers (bench.py) pass policy_names
+    # explicitly so a leftover env knob cannot redirect the driver bench
+    if policy_names is None:
+        policy_names = os.environ.get("QB_POLICIES", "default").split(",")
+    unknown = [k for k in policy_names if k not in policies]
+    if unknown:
+        raise ValueError(f"unknown QB policies {unknown}; "
+                         f"choose from {sorted(policies)}")
+    policies = {k: policies[k] for k in policy_names}
 
     def fwd_int8(qtree, x):
         return jnp.argmax(deeplab_int8_apply(qtree, x), -1).astype(jnp.int32)

@@ -117,7 +117,7 @@ def _forward(op, x, block_counts):
     return resize_bilinear(logits, in_size)
 
 
-def calibrate(variables, batches) -> dict:
+def calibrate(variables, batches, folded=None) -> dict:
     """Static per-conv-input activation scales from calibration batches.
 
     ``batches``: iterable of (N, H, W, 3) image arrays (AFTER the
@@ -125,9 +125,12 @@ def calibrate(variables, batches) -> dict:
     ``scale = max_abs / 127`` observed across all batches.  One jitted
     bf16 forward per batch shape; convs sharing an input (bottleneck
     conv1 + downsample, the ASPP branches) naturally record identical
-    maxes.
+    maxes.  ``folded``: pass a precomputed :func:`fold_deeplab` tree to
+    avoid refolding (the fold is ~300 eager dispatches -- seconds on
+    tunneled backends).
     """
-    folded = fold_deeplab(variables)
+    if folded is None:
+        folded = fold_deeplab(variables)
     block_counts = _block_counts(variables["params"])
 
     @jax.jit
@@ -173,10 +176,13 @@ def default_policy(name: str, kernel_shape) -> bool:
     return kernel_shape[0] == 3 or name.endswith("/conv3")
 
 
-def build_quantized(variables, act_scales: dict, policy=default_policy):
+def build_quantized(variables, act_scales: dict, policy=default_policy,
+                    folded=None):
     """Quantized param tree: {'q8': {name: (w_q, w_scale, x_scale, bias)},
-    'bf16': {name: (kernel bf16, bias f32)}}."""
-    folded = fold_deeplab(variables)
+    'bf16': {name: (kernel bf16, bias f32)}}.  ``folded``: reuse a
+    precomputed :func:`fold_deeplab` tree."""
+    if folded is None:
+        folded = fold_deeplab(variables)
     q8, bf = {}, {}
     for name, (kernel, bias) in folded.items():
         if policy(name, kernel.shape) and name in act_scales:

@@ -209,15 +209,30 @@ class Predictor:
                     "representative (N, H, W, 3) uint8 frames to "
                     "calibrate the static activation scales")
             from rtsds_tpu.models.deeplab_int8 import (
-                build_quantized, calibrate, deeplab_int8_apply)
+                build_quantized, calibrate, deeplab_int8_apply,
+                fold_deeplab)
 
             calib = np.asarray(calib_frames, dtype=np.uint8)
             if calib.ndim == 3:
                 calib = calib[None]
-            calib_x = normalize(jnp.asarray(calib, jnp.float32),
-                                correct_preprocessing)
-            scales = calibrate(variables, [calib_x])
-            variables = build_quantized(variables, scales)
+            # chunk the calibration forwards to the serving batch size
+            # (ONE compiled shape; the tail wraps around -- repeated
+            # frames cannot change a max) so a many-image calibration
+            # set never compiles or runs a giant one-off batch
+            if calib.shape[0] > batch_size:
+                pad = (-calib.shape[0]) % batch_size
+                if pad:
+                    calib = np.concatenate([calib, calib[:pad]])
+                chunks = [calib[i:i + batch_size]
+                          for i in range(0, calib.shape[0], batch_size)]
+            else:
+                chunks = [calib]
+            calib_batches = (
+                normalize(jnp.asarray(c, jnp.float32),
+                          correct_preprocessing) for c in chunks)
+            folded = fold_deeplab(variables)
+            scales = calibrate(variables, calib_batches, folded=folded)
+            variables = build_quantized(variables, scales, folded=folded)
 
             def apply_fn(qtree, x, train=False):
                 return deeplab_int8_apply(qtree, x)
@@ -442,18 +457,26 @@ def main(argv=None):
     if args.quantize and not args.images:
         parser.error("--quantize needs input images to calibrate the "
                      "activation scales")
+    if args.quantize and args.model != "deeplab":
+        parser.error("--quantize int8 is implemented for --model deeplab "
+                     "(int8 measured as a loss on bisenet's profile)")
 
     from rtsds_tpu.data.pipeline import decode_image
 
     size = tuple(int(v) for v in args.size.replace(" ", "").split(","))
-    frames = (np.stack([decode_image(p, size) for p in args.images])
-              if args.images else None)
+
+    def decode_frames(sz):
+        return (np.stack([decode_image(p, sz) for p in args.images])
+                if args.images else None)
+
     if args.artifact:
         from rtsds_tpu.serve_export import load_predictor
 
         predictor = load_predictor(args.artifact)
-        size = predictor.image_size
+        size = predictor.image_size  # decode at the ARTIFACT's size
+        frames = decode_frames(size)
     else:
+        frames = decode_frames(size)
         protocol_kwargs = protocol_kwargs_from_flags(
             args.protocol, args.scales, args.window, args.stride)
         kwargs = dict(model_name=args.model, image_size=size,
@@ -490,10 +513,6 @@ def main(argv=None):
         # too (previously they were silently ignored)
 
     os.makedirs(args.out, exist_ok=True)
-    if args.artifact and frames is not None \
-            and frames.shape[1:3] != tuple(size):
-        # artifact may carry a different compiled size than --size
-        frames = np.stack([decode_image(p, size) for p in args.images])
     outputs = (predictor.predict_colored(frames) if args.colored
                else predictor.predict(frames))
     from PIL import Image

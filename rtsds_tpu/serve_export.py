@@ -83,6 +83,10 @@ def export_predictor(predictor, path: str,
         # per-frame cost difference between plain and ensemble -- the
         # artifact must be distinguishable without timing it)
         "protocol": getattr(predictor, "protocol", "plain"),
+        # int8 artifacts carry an accuracy caveat (near-tie argmax
+        # pixels may flip across platforms; tests/test_quant.py) --
+        # they too must be distinguishable from exact bf16 exports
+        "quantize": getattr(predictor, "quantize", None),
     }
     head = json.dumps(meta).encode()
     with open(path, "wb") as f:

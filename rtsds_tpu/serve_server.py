@@ -368,7 +368,24 @@ def main(argv=None):
     parser.add_argument("--compilation_cache", default=None, metavar="DIR",
                         help="persistent XLA compile cache: restarted "
                              "servers skip the minutes-long first compile")
+    parser.add_argument("--quantize", default=None, choices=["int8"],
+                        help="serve DeepLab through the W8A8 quantized "
+                             "path (needs --calib_images)")
+    parser.add_argument("--calib_images", nargs="*", default=None,
+                        metavar="PNG",
+                        help="representative frames to calibrate the int8 "
+                             "activation scales (resized to --size)")
     args = parser.parse_args(argv)
+
+    if args.quantize:
+        if args.artifact:
+            parser.error("--quantize happens at predictor build time; "
+                         "the artifact is already a compiled program")
+        if args.model != "deeplab":
+            parser.error("--quantize int8 is implemented for --model "
+                         "deeplab (int8 measured as a loss on bisenet)")
+        if not args.calib_images:
+            parser.error("--quantize needs --calib_images")
 
     if args.compilation_cache:
         from rtsds_tpu.utils.compile_cache import enable_compilation_cache
@@ -396,6 +413,12 @@ def main(argv=None):
                       batch_size=args.batch, backbone=args.backbone,
                       protocol=args.protocol,
                       protocol_kwargs=protocol_kwargs)
+        if args.quantize:
+            from rtsds_tpu.data.pipeline import decode_image
+
+            kwargs["quantize"] = args.quantize
+            kwargs["calib_frames"] = np.stack(
+                [decode_image(p, size) for p in args.calib_images])
         if args.mesh:
             from rtsds_tpu.parallel.mesh import make_mesh
 

@@ -178,8 +178,12 @@ def test_predictor_int8_serving():
 
     base = Predictor(model_name="deeplab", image_size=(32, 64),
                      batch_size=2)
+    # 5 calibration frames > batch_size 2: calibration must chunk to the
+    # serving batch (one compiled shape, wrap-padded tail)
+    calib5 = rng.randint(0, 255, size=(5, 32, 64, 3), dtype=np.uint8)
+    calib5[:2] = calib
     quant = Predictor(model_name="deeplab", image_size=(32, 64),
-                      batch_size=2, quantize="int8", calib_frames=calib)
+                      batch_size=2, quantize="int8", calib_frames=calib5)
     assert quant.quantize == "int8"
     m_base = base.predict(frames)
     m_quant = quant.predict(frames)
@@ -220,6 +224,8 @@ def test_quantized_predictor_exports():
         path = f"{td}/q8.rtsds"
         export_predictor(live, path)
         aot = load_predictor(path)
+        # the artifact must be distinguishable from an exact bf16 export
+        assert aot.meta["quantize"] == "int8"
         m_live = live.predict(frames)
         m_aot = aot.predict(frames)
     agreement = (m_live == m_aot).mean()

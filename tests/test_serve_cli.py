@@ -147,3 +147,5 @@ def test_serve_cli_quantize_flag(tmp_path):
         serve.main(["--size", "32, 64", "--model", "deeplab",
                     "--quantize", "int8",
                     "--export", str(tmp_path / "x.rtsds")])
+    with pytest.raises(SystemExit):  # bisenet: rejected as a flag check
+        serve.main([str(p), "--size", "32, 64", "--quantize", "int8"])

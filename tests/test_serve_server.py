@@ -467,3 +467,87 @@ def test_stats_is_safe_under_concurrent_mutation():
     s = mb.stats()
     assert s["requests"] == 400
     assert s["latency_p50_ms"] is not None
+
+
+def test_server_main_quantize_flags(tmp_path):
+    """--quantize int8 flag validation is pure (before any model work);
+    a valid invocation builds the quantized predictor (construction
+    checked via the Predictor error surface, not a full server run)."""
+    import pytest
+
+    from rtsds_tpu import serve_server
+
+    with pytest.raises(SystemExit):  # artifact conflicts
+        serve_server.main(["--artifact", "x.rtsds", "--quantize", "int8",
+                           "--calib_images", "a.png"])
+    with pytest.raises(SystemExit):  # bisenet rejected as a flag check
+        serve_server.main(["--quantize", "int8",
+                           "--calib_images", "a.png"])
+    with pytest.raises(SystemExit):  # missing calib images
+        serve_server.main(["--model", "deeplab", "--quantize", "int8"])
+
+
+def test_server_main_quantize_serves(tmp_path, monkeypatch):
+    """A quantized server round-trips one request (same one-shot harness
+    as the mesh test)."""
+    import io
+    import threading
+    import time
+    import urllib.request
+
+    import numpy as np
+    from PIL import Image
+
+    from rtsds_tpu import serve_server
+
+    calib = tmp_path / "calib.png"
+    Image.fromarray(np.random.RandomState(0).randint(
+        0, 255, (16, 32, 3), dtype=np.uint8)).save(calib)
+
+    served = {}
+    real_make = serve_server.make_http_server
+
+    def one_shot_make(batcher, host, port, colored=False):
+        server = real_make(batcher, host=host, port=0, colored=colored)
+
+        def one_request_then_drain():
+            server.handle_request()
+            for _ in range(600):
+                if "status" in served or "error" in served:
+                    return
+                time.sleep(0.1)
+
+        server.serve_forever = one_request_then_drain
+        server.shutdown = lambda: None
+        served["server"] = server
+        return server
+
+    monkeypatch.setattr(serve_server, "make_http_server", one_shot_make)
+
+    def post():
+        for _ in range(600):
+            if "server" in served:
+                break
+            time.sleep(0.1)
+        port = served["server"].server_address[1]
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((16, 32, 3), np.uint8)).save(buf, "PNG")
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+                    timeout=120) as r:
+                body = r.read()
+                served["body"] = body
+                served["status"] = r.status
+        except Exception as e:
+            served["error"] = repr(e)
+
+    t = threading.Thread(target=post, daemon=True)
+    t.start()
+    serve_server.main(["--host", "127.0.0.1", "--port", "0",
+                       "--size", "16, 32", "--batch", "2",
+                       "--model", "deeplab", "--quantize", "int8",
+                       "--calib_images", str(calib)])
+    t.join(timeout=120)
+    assert "error" not in served, served["error"]
+    assert served.get("status") == 200 and served.get("body")
