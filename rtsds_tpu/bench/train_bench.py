@@ -14,7 +14,9 @@ Run: ``python -m rtsds_tpu.bench.train_bench`` (env: TRAIN_MODEL,
 TRAIN_BATCH, TRAIN_SIZE "H,W", TRAIN_STEPS, TRAIN_BACKBONE
 resnet18|resnet101 for the bisenet context path; TRAIN_DISTILL=
 bisenet|deeplab benches the fused KD step with that frozen teacher —
-random teacher weights, cost is shape- not value-dependent).
+random teacher weights, cost is shape- not value-dependent;
+TRAIN_BN_EVAL=1 benches DeepLab with fully-frozen BN,
+``model.deeplab.bn_eval``).
 """
 
 from __future__ import annotations
@@ -35,7 +37,8 @@ def supervised_step_benchmark(model_name: str = "bisenet",
                               dtype=jnp.bfloat16,
                               backbone: str = "resnet18",
                               distill_teacher: str | None = None,
-                              grad_clip: float = 0.0) -> dict:
+                              grad_clip: float = 0.0,
+                              bn_eval: bool = False) -> dict:
     from rtsds_tpu.train.optim import make_optimizer
     from rtsds_tpu.train.state import create_train_state
     from rtsds_tpu.train.supervised import make_train_step
@@ -45,7 +48,8 @@ def supervised_step_benchmark(model_name: str = "bisenet",
         if name == "deeplab":
             from rtsds_tpu.models.deeplabv2 import DeepLabV2
 
-            return DeepLabV2(num_classes=num_classes, dtype=dtype)
+            return DeepLabV2(num_classes=num_classes, dtype=dtype,
+                             bn_eval=bn_eval)
         if name == "bisenet":
             from rtsds_tpu.models.bisenet import BiSeNet
 
@@ -102,6 +106,7 @@ def supervised_step_benchmark(model_name: str = "bisenet",
         "batch_size": batch_size,
         "image_size": list(image_size),
         "dtype": str(getattr(dtype, "__name__", dtype)),
+        **({"bn_eval": True} if bn_eval else {}),
     }
 
 
@@ -114,11 +119,13 @@ def main():
     backbone = os.environ.get("TRAIN_BACKBONE", "resnet18")
     distill = os.environ.get("TRAIN_DISTILL") or None
     grad_clip = float(os.environ.get("TRAIN_GRAD_CLIP", "0"))
+    bn_eval = os.environ.get("TRAIN_BN_EVAL", "0") == "1"
     stats = supervised_step_benchmark(model, batch_size=batch,
                                       image_size=size, steps=steps,
                                       backbone=backbone,
                                       distill_teacher=distill,
-                                      grad_clip=grad_clip)
+                                      grad_clip=grad_clip,
+                                      bn_eval=bn_eval)
     name = (f"{model}_distill_from_{distill}_train_step" if distill
             else f"{model}_supervised_train_step")
     print(json.dumps({"metric": name,

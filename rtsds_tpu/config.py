@@ -174,6 +174,10 @@ _DEFAULTS: dict = {
             "pretrain": False,
             "pretrain_model_path": "",
             "power_lr_factor": 0.9,
+            # fully-frozen BN during training (ours, opt-in): normalize
+            # with running stats, never update them -- the common DeepLab
+            # DA recipe; default False = the reference's batch-stats mode
+            "bn_eval": False,
             # head_lr_mult: discriminative LR -- scale the ASPP classifier
             # head's LR by this factor (the reference's 10x intent,
             # deeplabv2.py:171-173); 0 = uniform LR

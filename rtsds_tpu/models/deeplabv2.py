@@ -65,6 +65,14 @@ class DeepLabV2(nn.Module):
     output_f32: bool = True
     # rematerialize bottleneck blocks in the backward pass (training memory)
     remat: bool = False
+    # fully-frozen BN (ours, opt-in): normalize with the running stats
+    # even during training and never update them.  The reference keeps
+    # its frozen-affine BNs in batch-stats mode while training
+    # (deeplabv2.py:14-27 semantics, reproduced by default); most
+    # DeepLab DA codebases freeze BN entirely -- this knob offers that
+    # recipe AND skips the per-step BN stat reductions (measured on
+    # TPU: see PERF.md).  Config: model.deeplab.bn_eval.
+    bn_eval: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -73,7 +81,8 @@ class DeepLabV2(nn.Module):
         in_size = (x.shape[1], x.shape[2])
         x = Stem7x7(features=64, kernel_init=normal_001, dtype=self.dtype,
                     name="conv1")(x)
-        x = batch_norm(not train, name="bn1", dtype=self.dtype)(x)
+        x = batch_norm((not train) or self.bn_eval, name="bn1",
+                       dtype=self.dtype)(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x, ceil_mode=True)
 
@@ -93,6 +102,7 @@ class DeepLabV2(nn.Module):
                     dilation=dilation,
                     downsample=needs_proj,
                     stride_in_1x1=True,
+                    bn_eval=self.bn_eval,
                     dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_{block_idx}",
                 )(x, train)

@@ -66,6 +66,11 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     downsample: bool = False
     stride_in_1x1: bool = False
+    # fully-frozen BN: normalize with running stats even in train mode
+    # and never update them (skips the per-step stat reductions; the
+    # reference keeps batch-stats mode, so this is opt-in -- see
+    # DeepLabV2.bn_eval)
+    bn_eval: bool = False
     dtype: jnp.dtype | None = None
 
     expansion: int = 4
@@ -74,23 +79,24 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         s1 = self.stride if self.stride_in_1x1 else 1
         s3 = 1 if self.stride_in_1x1 else self.stride
+        ra = (not train) or self.bn_eval
         identity = x
         out = conv(self.features, 1, s1, 0, use_bias=False,
                    dtype=self.dtype, name="conv1")(x)
-        out = batch_norm(not train, name="bn1", dtype=self.dtype)(out)
+        out = batch_norm(ra, name="bn1", dtype=self.dtype)(out)
         out = nn.relu(out)
         out = conv(self.features, 3, s3, self.dilation, dilation=self.dilation,
                    use_bias=False, dtype=self.dtype, name="conv2")(out)
-        out = batch_norm(not train, name="bn2", dtype=self.dtype)(out)
+        out = batch_norm(ra, name="bn2", dtype=self.dtype)(out)
         out = nn.relu(out)
         out = conv(self.features * self.expansion, 1, 1, 0, use_bias=False,
                    dtype=self.dtype, name="conv3")(out)
-        out = batch_norm(not train, name="bn3", dtype=self.dtype)(out)
+        out = batch_norm(ra, name="bn3", dtype=self.dtype)(out)
         if self.downsample:
             identity = conv(self.features * self.expansion, 1, self.stride, 0,
                             use_bias=False, dtype=self.dtype,
                             name="downsample_conv")(x)
-            identity = batch_norm(not train, name="downsample_bn",
+            identity = batch_norm(ra, name="downsample_bn",
                                   dtype=self.dtype)(identity)
         return nn.relu(out + identity)
 

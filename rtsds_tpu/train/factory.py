@@ -69,7 +69,8 @@ def _build_segmentor(config, model_name: str, max_iter: int,
         frozen = None
     elif model_name == "deeplab":
         cfg = model_cfg.get("deeplab")
-        model = DeepLabV2(num_classes=cfg["num_classes"], dtype=dtype)
+        model = DeepLabV2(num_classes=cfg["num_classes"], dtype=dtype,
+                          bn_eval=bool(cfg.get("bn_eval", False)))
         pretrained = None
         sub = None
         # tolerate both the reference's mismatched key spellings

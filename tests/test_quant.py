@@ -230,3 +230,91 @@ def test_quantized_predictor_exports():
         m_aot = aot.predict(frames)
     agreement = (m_live == m_aot).mean()
     assert agreement > 0.95, f"AOT mask agreement {agreement:.4f}"
+
+
+@pytest.mark.slow
+def test_int8_miou_matches_bf16_on_trained_model(tmp_path, monkeypatch):
+    """The strongest int8 accuracy gate available without real data:
+    train DeepLab through the REAL CLI on structured synthetic data,
+    then score the best checkpoint through BOTH serving paths on the
+    same validation set -- the quantized mIoU must match the bf16 mIoU
+    (random-weight agreement tests cannot see calibration/clipping
+    effects on a peaked, trained distribution; this can)."""
+    import yaml
+
+    from rtsds_tpu import cli
+    from rtsds_tpu.data.synthetic import SyntheticSegDataset
+    from rtsds_tpu.serve import Predictor
+    from rtsds_tpu.utils.metrics import fast_hist, per_class_iou
+
+    size = (32, 64)
+    cfg = {
+        "data": {
+            "cityscapes": {"image_size": "32, 64", "batch_size": 4,
+                           "num_classes": 5, "num_workers": 2},
+            "gta5_modified": {"image_size": "32, 64", "batch_size": 4,
+                              "num_classes": 5, "num_workers": 2},
+            "correct_preprocessing": True,
+        },
+        "meta": {"class_names": ["a", "b", "c", "d", "e"]},
+        "model": {"deeplab": {"num_classes": 5,
+                              "optimizer": {"name": "Adam", "lr": 0.005},
+                              "criterion": {"name": "CrossEntropy"}}},
+        "training": {
+            "segmentation": {"num_classes": 5, "epochs": 3,
+                             "do_validation": 1, "lr_decay_iter": 10**9},
+            "domain_adaptation": {"epochs": 1, "iterations": 1,
+                                  "do_validation": 1},
+        },
+        "callbacks": {
+            "model_checkpoint": {
+                "save_dir": str(tmp_path / "ckpt"), "save_name": "model",
+                "save_best": True, "monitor": "validation_mIoU",
+                "mode": "max", "save_freq": 1},
+        },
+    }
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    cli.main(["--config", str(cfg_path), "--synthetic", "--model",
+              "deeplab"])
+
+    val_ds = SyntheticSegDataset(8, size, 5, seed=42 + 1)
+    frames = np.stack([val_ds[j][0] for j in range(8)])
+    labels = np.stack([val_ds[j][1] for j in range(8)])
+
+    def miou(predictor):
+        hist = np.zeros((5, 5), np.int64)
+        for i in range(0, 8, 4):
+            masks = predictor.predict(frames[i:i + 4])
+            hist += np.asarray(fast_hist(labels[i:i + 4], masks, 5))
+        return float(np.nanmean(np.asarray(per_class_iou(hist))))
+
+    common = dict(model_name="deeplab", image_size=size, batch_size=4,
+                  num_classes=5, correct_preprocessing=True)
+    base = Predictor.from_checkpoint(str(tmp_path / "ckpt" / "model"),
+                                     **common)
+    quant = Predictor.from_checkpoint(str(tmp_path / "ckpt" / "model"),
+                                      quantize="int8",
+                                      calib_frames=frames[:4], **common)
+    m_base, m_quant = miou(base), miou(quant)
+    # trained-model gate: quantization costs (or gains) < 2 mIoU points
+    assert abs(m_quant - m_base) < 0.02, (m_quant, m_base)
+
+
+@pytest.mark.slow
+def test_quantize_composes_with_ensemble_protocol():
+    """protocol='ensemble' over the quantized apply: the multi-scale
+    forwards run through deeplab_int8_apply (per-tensor scales are
+    shape-agnostic), one jit program, sane masks."""
+    from rtsds_tpu.serve import Predictor
+
+    rng = np.random.RandomState(0)
+    calib = rng.randint(0, 255, (2, 32, 64, 3), dtype=np.uint8)
+    frames = rng.randint(0, 255, (2, 32, 64, 3), dtype=np.uint8)
+    p = Predictor(model_name="deeplab", image_size=(32, 64), batch_size=2,
+                  quantize="int8", calib_frames=calib,
+                  protocol="ensemble",
+                  protocol_kwargs={"scales": (0.5, 1.0), "flip": True})
+    masks = p.predict(frames)
+    assert masks.shape == (2, 32, 64)
+    assert masks.max() < 19 and masks.min() >= 0
