@@ -13,7 +13,9 @@ Run: ``python -m rtsds_tpu.bench.da_bench`` (env: DA_BATCH, DA_STEPS,
 DA_SELF_TRAINING=1 to bench the fused pseudo-label step instead;
 DA_ENTROPY=<lambda> / DA_FDA=<beta> to fuse MinEnt / FDA restyling in;
 DA_CLASSMIX=1 for the DACS mixed-batch step; DA_VARIANT=v2 for the
-authors' alternate adversarial recipe -- not gated, see below).
+authors' alternate adversarial recipe -- not gated, see below;
+DA_GENERATOR=deeplab for the AdaptSegNet-original generator, ours --
+also a coverage record, not gated).
 """
 
 from __future__ import annotations
@@ -37,7 +39,9 @@ def da_step_benchmark(batch_size: int = 4, src_hw=(720, 1280),
                       tgt_hw=(512, 1024), steps: int = 5, repeats: int = 3,
                       dtype=jnp.bfloat16, self_training: bool = False,
                       lambda_ent: float = 0.0, fda_beta: float = 0.0,
-                      classmix: bool = False, variant: str = "v1") -> dict:
+                      classmix: bool = False, variant: str = "v1",
+                      generator: str = "bisenet",
+                      remat: bool = False) -> dict:
     """``self_training=True`` benches the fused pseudo-label step
     (``train/self_training.py``: +1 teacher forward at target resolution,
     +1 thresholded CE, +1 EMA tree update vs the plain v1 step).
@@ -59,7 +63,17 @@ def da_step_benchmark(batch_size: int = 4, src_hw=(720, 1280),
     key = jax.random.key(0)
     kg, kd, kx = jax.random.split(key, 3)
 
-    gen = BiSeNet(num_classes=19, context_path="resnet18", dtype=dtype)
+    if generator == "deeplab":
+        # ours: AdaptSegNet's original generator (the reference
+        # restricts DA to bisenet, main.py:172 -- coverage record only).
+        # NEEDS remat on one chip: without it even b4 at 720x1280 fails
+        # to compile (remote-compile helper memory wall, PERF.md)
+        from rtsds_tpu.models.deeplabv2 import DeepLabV2
+
+        gen = DeepLabV2(num_classes=19, dtype=dtype, remat=remat)
+    else:
+        gen = BiSeNet(num_classes=19, context_path="resnet18", dtype=dtype,
+                      remat=remat)
     gen_tx = make_optimizer("Adam", poly_lr_schedule(1e-4, 5000, 0.9))
     gen_state = create_train_state(gen, kg,
                                    jnp.zeros((batch_size, *src_hw, 3)), gen_tx)
@@ -127,6 +141,8 @@ def da_step_benchmark(batch_size: int = 4, src_hw=(720, 1280),
         "dtype": str(getattr(dtype, "__name__", dtype)),
         "self_training": self_training,
         "variant": "v1+pl" if self_training else variant,
+        "generator": generator,
+        "remat": remat,
         "classmix": classmix,
         "lambda_ent": lambda_ent,
         "fda_beta": fda_beta,
@@ -141,13 +157,18 @@ def main():
     fda_beta = float(os.environ.get("DA_FDA", "0"))
     classmix = os.environ.get("DA_CLASSMIX", "0") == "1"
     variant = os.environ.get("DA_VARIANT", "v1")
+    generator = os.environ.get("DA_GENERATOR", "bisenet")
+    # deeplab generators default remat ON (cannot compile without it)
+    remat = os.environ.get(
+        "DA_REMAT", "1" if generator == "deeplab" else "0") == "1"
     # DA_CLASSMIX implies the self-training step (ClassMix needs the teacher's
     # pseudo-labels); label and gate the result accordingly, not as plain DA
     effective_self_training = self_training or classmix
     stats = da_step_benchmark(batch_size=batch, steps=steps,
                               self_training=effective_self_training,
                               lambda_ent=lambda_ent, fda_beta=fda_beta,
-                              classmix=classmix, variant=variant)
+                              classmix=classmix, variant=variant,
+                              generator=generator, remat=remat)
     sps = stats["steps_per_sec"]
     if effective_self_training:
         metric = "da_self_training_steps_per_sec"
@@ -159,7 +180,8 @@ def main():
     # other configuration is a coverage record, marked so its (lower)
     # rate cannot be misread as a gate regression
     gated = (variant == "v1" and not effective_self_training
-             and lambda_ent == 0 and fda_beta == 0)
+             and lambda_ent == 0 and fda_beta == 0
+             and generator == "bisenet" and not remat)
     out = {
         "metric": metric,
         "value": round(sps, 3),

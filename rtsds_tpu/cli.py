@@ -399,7 +399,10 @@ def _main(argv=None):
         ema_decay = _ema_decay_from(tcfg)
         st_cfg = tcfg.get("self_training")
         self_training = bool(st_cfg and st_cfg.get("enabled", False))
-        ignore_index = config.model["bisenet"]["criterion"].get(
+        # ignore_index follows the GENERATOR's model section (the
+        # generator may be bisenet or, ours, deeplab)
+        gen_name = config.model["adversarial_model"]["generator"]["name"]
+        ignore_index = config.model[gen_name]["criterion"].get(
             "ignore_index")
         st_threshold = None
         st_calibration = None

@@ -178,6 +178,11 @@ _DEFAULTS: dict = {
             # with running stats, never update them -- the common DeepLab
             # DA recipe; default False = the reference's batch-stats mode
             "bn_eval": False,
+            # rematerialize backbone blocks in the backward pass: ~1
+            # extra forward of FLOPs for a large activation-memory cut
+            # (fits bigger batches/resolutions); measured NOT faster when
+            # memory is not the constraint (PERF.md)
+            "remat": False,
             # head_lr_mult: discriminative LR -- scale the ASPP classifier
             # head's LR by this factor (the reference's 10x intent,
             # deeplabv2.py:171-173); 0 = uniform LR
@@ -191,6 +196,9 @@ _DEFAULTS: dict = {
             "pretrained": False,
             "pretrain_model_path": "",
             "power_lr_factor": 0.9,
+            # rematerialize backbone blocks in the backward pass (see
+            # model.deeplab.remat)
+            "remat": False,
             # head_lr_mult: scale every non-backbone module's LR (the
             # reference's `mul_lr` intent, build_bisenet.py:121-128)
             "optimizer": {"name": "Adam", "lr": 0.0001, "grad_clip": 0.0,

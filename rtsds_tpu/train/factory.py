@@ -59,7 +59,8 @@ def _build_segmentor(config, model_name: str, max_iter: int,
     if model_name == "bisenet":
         cfg = model_cfg.get("bisenet")
         model = BiSeNet(num_classes=cfg["num_classes"],
-                        context_path=cfg["backbone"], dtype=dtype)
+                        context_path=cfg["backbone"], dtype=dtype,
+                        remat=bool(cfg.get("remat", False)))
         pretrained = None
         sub = None
         path = cfg.get("pretrain_model_path", "") or ""
@@ -70,7 +71,8 @@ def _build_segmentor(config, model_name: str, max_iter: int,
     elif model_name == "deeplab":
         cfg = model_cfg.get("deeplab")
         model = DeepLabV2(num_classes=cfg["num_classes"], dtype=dtype,
-                          bn_eval=bool(cfg.get("bn_eval", False)))
+                          bn_eval=bool(cfg.get("bn_eval", False)),
+                          remat=bool(cfg.get("remat", False)))
         pretrained = None
         sub = None
         # tolerate both the reference's mismatched key spellings
@@ -170,23 +172,48 @@ def build_adversarial(config):
     dtype = _dtype_from_config(config)
 
     gen_cfg = adv_cfg.get("generator")
-    if gen_cfg["name"] != "bisenet":
-        raise ValueError("only bisenet generators are supported (main.py:172)")
-    bis = config.model["bisenet"]
-    generator = BiSeNet(num_classes=bis["num_classes"],
-                        context_path=bis["backbone"], dtype=dtype)
-    gen_pre, gen_sub = None, None
-    path = bis.get("pretrain_model_path", "") or ""
-    if bis.get("pretrained", False) and path:
-        gen_pre = load_backbone_pretrained(path)
-        gen_sub = "context_path"
+    gen_frozen_fn = None
+    if gen_cfg["name"] == "bisenet":
+        bis = config.model["bisenet"]
+        generator = BiSeNet(num_classes=bis["num_classes"],
+                            context_path=bis["backbone"], dtype=dtype,
+                            remat=bool(bis.get("remat", False)))
+        gen_pre, gen_sub = None, None
+        path = bis.get("pretrain_model_path", "") or ""
+        if bis.get("pretrained", False) and path:
+            gen_pre = load_backbone_pretrained(path)
+            gen_sub = "context_path"
+    elif gen_cfg["name"] == "deeplab":
+        # ours: the reference restricts DA to bisenet generators
+        # (main.py:172) though the AdaptSegNet recipe it implements was
+        # defined on DeepLab; the fused steps are model-generic (they
+        # consume the (main, aux1, aux2) train tuple, and DeepLab
+        # returns (x, None, None)), so we open the knob.  Frozen-BN
+        # semantics carry over from the supervised path.
+        dl = config.model["deeplab"]
+        generator = DeepLabV2(num_classes=dl["num_classes"], dtype=dtype,
+                              bn_eval=bool(dl.get("bn_eval", False)),
+                              remat=bool(dl.get("remat", False)))
+        gen_pre, gen_sub = None, None
+        want = dl.get("pretrain", dl.get("pretrained", False))
+        path = dl.get("pretrain_model_path",
+                      dl.get("pretrained_path", "")) or ""
+        if want and path:
+            gen_pre = load_deeplab_pretrained(path)
+        gen_frozen_fn = frozen_bn_mask
+    else:
+        raise ValueError(
+            "Invalid generator name. Please select deeplab or bisenet "
+            "(the reference allows bisenet only, main.py:172; deeplab "
+            "is our extension)")
     warmup = int(tcfg.get("warmup_iters", 0))
     gen_lr = float(gen_cfg["optimizer"]["lr"])
     gen_power = float(gen_cfg["power_lr_factor"])
     gen_sched = with_warmup(
         poly_lr_schedule(gen_lr, epochs * iterations, gen_power,
                          lr_decay_iter), warmup)
-    gen_tx = _make_tx(gen_cfg["optimizer"], gen_sched, None, generator, dtype)
+    gen_tx = _make_tx(gen_cfg["optimizer"], gen_sched, gen_frozen_fn,
+                      generator, dtype)
     gen_bundle = ModelBundle(
         generator, gen_tx, make_criterion(gen_cfg["criterion"]),
         {"gen_init_lr": gen_lr, "gen_power": gen_power}, gen_pre, gen_sub)

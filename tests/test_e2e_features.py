@@ -202,3 +202,22 @@ def test_cli_da_ema(tmp_path, monkeypatch):
     assert recorder.val_logs
     assert all(np.isfinite(list(logs.values())).all()
                for logs in recorder.batch_logs)
+
+
+@pytest.mark.slow
+def test_cli_da_deeplab_generator(tmp_path, monkeypatch):
+    """adversarial_model.generator.name: deeplab (ours; the reference
+    restricts DA to bisenet, main.py:172) drives the full DA loop from
+    the CLI: fused step, validation, checkpoint."""
+    from rtsds_tpu import cli
+
+    cfg = _config(tmp_path, {
+        "model.adversarial_model.generator.name": "deeplab",
+        "model.deeplab.num_classes": 19,
+    })
+    recorder = _recording(monkeypatch)
+    cli.main(["--config", cfg, "--synthetic", "--domain_adaptation"])
+    assert recorder.train_ended
+    assert recorder.val_logs
+    assert all(np.isfinite(list(logs.values())).all()
+               for logs in recorder.batch_logs)
