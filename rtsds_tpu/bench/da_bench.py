@@ -67,14 +67,19 @@ def da_step_benchmark(batch_size: int = 4, src_hw=(720, 1280),
         # ours: AdaptSegNet's original generator (the reference
         # restricts DA to bisenet, main.py:172 -- coverage record only).
         # NEEDS remat on one chip: without it even b4 at 720x1280 fails
-        # to compile (remote-compile helper memory wall, PERF.md)
-        from rtsds_tpu.models.deeplabv2 import DeepLabV2
+        # to compile (remote-compile helper memory wall, PERF.md).
+        # The frozen-BN optimizer mask matches what build_adversarial
+        # gives the production deeplab generator, so the benched program
+        # is the one the CLI runs.
+        from rtsds_tpu.models.deeplabv2 import DeepLabV2, frozen_bn_mask
 
         gen = DeepLabV2(num_classes=19, dtype=dtype, remat=remat)
+        gen_tx = make_optimizer("Adam", poly_lr_schedule(1e-4, 5000, 0.9),
+                                frozen_mask=frozen_bn_mask)
     else:
         gen = BiSeNet(num_classes=19, context_path="resnet18", dtype=dtype,
                       remat=remat)
-    gen_tx = make_optimizer("Adam", poly_lr_schedule(1e-4, 5000, 0.9))
+        gen_tx = make_optimizer("Adam", poly_lr_schedule(1e-4, 5000, 0.9))
     gen_state = create_train_state(gen, kg,
                                    jnp.zeros((batch_size, *src_hw, 3)), gen_tx)
     dis = TinyDomainDiscriminator(num_classes=19, dtype=dtype)

@@ -44,6 +44,11 @@ def supervised_step_benchmark(model_name: str = "bisenet",
     from rtsds_tpu.train.supervised import make_train_step
     from rtsds_tpu.utils.schedules import poly_lr_schedule
 
+    if bn_eval and model_name != "deeplab":
+        raise ValueError("bn_eval is a deeplab knob (model.deeplab."
+                         "bn_eval); it does not apply to "
+                         f"{model_name!r}")
+
     def build(name):
         if name == "deeplab":
             from rtsds_tpu.models.deeplabv2 import DeepLabV2

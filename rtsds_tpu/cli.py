@@ -637,6 +637,13 @@ def _main(argv=None):
                     "mesh.pipe already microbatches (GPipe == gradient "
                     "accumulation); set training.segmentation."
                     "pipe_microbatches instead of accumulate_steps")
+            if bool(cfg_model.get("bn_eval", False)):
+                raise SystemExit(
+                    "mesh.pipe does not support model.deeplab.bn_eval "
+                    "yet: the pipelined schedule threads per-microbatch "
+                    "batch-stats BN; running it with frozen stats would "
+                    "silently diverge from the same config on a non-pipe "
+                    "mesh. Disable bn_eval or drop the pipe axis.")
             from rtsds_tpu.train.pipelined import make_pipelined_train_step
 
             n_micro_cfg = tcfg.get("pipe_microbatches")

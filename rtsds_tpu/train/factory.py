@@ -52,37 +52,50 @@ def _dtype_from_config(config):
     return {"float32": None, "bfloat16": jnp.bfloat16}.get(name, None)
 
 
+def _make_bisenet(cfg, dtype):
+    """model.bisenet section -> (model, pretrained, submodule)."""
+    model = BiSeNet(num_classes=cfg["num_classes"],
+                    context_path=cfg["backbone"], dtype=dtype,
+                    remat=bool(cfg.get("remat", False)))
+    pretrained, sub = None, None
+    path = cfg.get("pretrain_model_path", "") or ""
+    if cfg.get("pretrained", False) and path:
+        pretrained = load_backbone_pretrained(path)
+        sub = "context_path"
+    return model, pretrained, sub
+
+
+def _make_deeplab(cfg, dtype):
+    """model.deeplab section -> (model, pretrained).  Shared by the
+    supervised path and the DA-generator path so every deeplab knob
+    (bn_eval, remat, the pretrain key-spelling tolerance) exists once."""
+    model = DeepLabV2(num_classes=cfg["num_classes"], dtype=dtype,
+                      bn_eval=bool(cfg.get("bn_eval", False)),
+                      remat=bool(cfg.get("remat", False)))
+    pretrained = None
+    # tolerate both the reference's mismatched key spellings
+    # (config.yaml:36-37 'pretrained/pretrained_path' vs main.py:206
+    # 'pretrain/pretrain_model_path' -- a catalogued bug)
+    want = cfg.get("pretrain", cfg.get("pretrained", False))
+    path = cfg.get("pretrain_model_path",
+                   cfg.get("pretrained_path", "")) or ""
+    if want and path:
+        pretrained = load_deeplab_pretrained(path)
+    return model, pretrained
+
+
 def _build_segmentor(config, model_name: str, max_iter: int,
                      lr_decay_iter: int, dtype=None,
                      warmup_iters: int = 0):
     model_cfg = config.model
     if model_name == "bisenet":
         cfg = model_cfg.get("bisenet")
-        model = BiSeNet(num_classes=cfg["num_classes"],
-                        context_path=cfg["backbone"], dtype=dtype,
-                        remat=bool(cfg.get("remat", False)))
-        pretrained = None
-        sub = None
-        path = cfg.get("pretrain_model_path", "") or ""
-        if cfg.get("pretrained", False) and path:
-            pretrained = load_backbone_pretrained(path)
-            sub = "context_path"
+        model, pretrained, sub = _make_bisenet(cfg, dtype)
         frozen = None
     elif model_name == "deeplab":
         cfg = model_cfg.get("deeplab")
-        model = DeepLabV2(num_classes=cfg["num_classes"], dtype=dtype,
-                          bn_eval=bool(cfg.get("bn_eval", False)),
-                          remat=bool(cfg.get("remat", False)))
-        pretrained = None
+        model, pretrained = _make_deeplab(cfg, dtype)
         sub = None
-        # tolerate both the reference's mismatched key spellings
-        # (config.yaml:36-37 'pretrained/pretrained_path' vs main.py:206
-        # 'pretrain/pretrain_model_path' -- a catalogued bug)
-        want = cfg.get("pretrain", cfg.get("pretrained", False))
-        path = cfg.get("pretrain_model_path",
-                       cfg.get("pretrained_path", "")) or ""
-        if want and path:
-            pretrained = load_deeplab_pretrained(path)
         frozen = "deeplab"
     else:
         raise ValueError("Invalid model name. Please select deeplab or bisenet")
@@ -174,15 +187,8 @@ def build_adversarial(config):
     gen_cfg = adv_cfg.get("generator")
     gen_frozen_fn = None
     if gen_cfg["name"] == "bisenet":
-        bis = config.model["bisenet"]
-        generator = BiSeNet(num_classes=bis["num_classes"],
-                            context_path=bis["backbone"], dtype=dtype,
-                            remat=bool(bis.get("remat", False)))
-        gen_pre, gen_sub = None, None
-        path = bis.get("pretrain_model_path", "") or ""
-        if bis.get("pretrained", False) and path:
-            gen_pre = load_backbone_pretrained(path)
-            gen_sub = "context_path"
+        generator, gen_pre, gen_sub = _make_bisenet(
+            config.model["bisenet"], dtype)
     elif gen_cfg["name"] == "deeplab":
         # ours: the reference restricts DA to bisenet generators
         # (main.py:172) though the AdaptSegNet recipe it implements was
@@ -190,16 +196,8 @@ def build_adversarial(config):
         # consume the (main, aux1, aux2) train tuple, and DeepLab
         # returns (x, None, None)), so we open the knob.  Frozen-BN
         # semantics carry over from the supervised path.
-        dl = config.model["deeplab"]
-        generator = DeepLabV2(num_classes=dl["num_classes"], dtype=dtype,
-                              bn_eval=bool(dl.get("bn_eval", False)),
-                              remat=bool(dl.get("remat", False)))
-        gen_pre, gen_sub = None, None
-        want = dl.get("pretrain", dl.get("pretrained", False))
-        path = dl.get("pretrain_model_path",
-                      dl.get("pretrained_path", "")) or ""
-        if want and path:
-            gen_pre = load_deeplab_pretrained(path)
+        generator, gen_pre = _make_deeplab(config.model["deeplab"], dtype)
+        gen_sub = None
         gen_frozen_fn = frozen_bn_mask
     else:
         raise ValueError(

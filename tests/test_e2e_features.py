@@ -198,10 +198,7 @@ def test_cli_da_ema(tmp_path, monkeypatch):
                              {"enabled": True, "decay": 0.9}})
     recorder = _recording(monkeypatch)
     cli.main(["--config", cfg, "--synthetic", "--domain_adaptation"])
-    assert recorder.train_ended
-    assert recorder.val_logs
-    assert all(np.isfinite(list(logs.values())).all()
-               for logs in recorder.batch_logs)
+    _assert_trained(recorder)
 
 
 @pytest.mark.slow
@@ -217,7 +214,4 @@ def test_cli_da_deeplab_generator(tmp_path, monkeypatch):
     })
     recorder = _recording(monkeypatch)
     cli.main(["--config", cfg, "--synthetic", "--domain_adaptation"])
-    assert recorder.train_ended
-    assert recorder.val_logs
-    assert all(np.isfinite(list(logs.values())).all()
-               for logs in recorder.batch_logs)
+    _assert_trained(recorder)

@@ -275,3 +275,16 @@ def test_cli_pipe_rejections(tmp_path):
                           "num_workers": 2}}})
     with pytest.raises(SystemExit, match="valid pipe sizes"):
         cli.main(["--config", cfg, "--synthetic", "--model", "deeplab"])
+
+
+def test_cli_pipe_rejects_bn_eval(tmp_path):
+    """mesh.pipe threads per-microbatch batch-stats BN through the
+    schedule; fully-frozen BN (model.deeplab.bn_eval) would silently
+    diverge from the same config on a non-pipe mesh, so it is rejected
+    up front."""
+    from rtsds_tpu import cli
+
+    cfg = _config(tmp_path, {"mesh": {"pipe": 2},
+                             "model": {"deeplab": {"bn_eval": True}}})
+    with pytest.raises(SystemExit, match="bn_eval"):
+        cli.main(["--config", cfg, "--synthetic", "--model", "deeplab"])
