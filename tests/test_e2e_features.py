@@ -215,3 +215,22 @@ def test_cli_da_deeplab_generator(tmp_path, monkeypatch):
     recorder = _recording(monkeypatch)
     cli.main(["--config", cfg, "--synthetic", "--domain_adaptation"])
     _assert_trained(recorder)
+
+
+@pytest.mark.slow
+def test_cli_da_deeplab_generator_self_training(tmp_path, monkeypatch):
+    """The second-generation DA techniques compose with the deeplab
+    generator too: mean-teacher EMA + self-training pseudo-labels drive
+    the full loop from the CLI."""
+    from rtsds_tpu import cli
+
+    cfg = _config(tmp_path, {
+        "model.adversarial_model.generator.name": "deeplab",
+        "training.domain_adaptation.ema": {"enabled": True, "decay": 0.9},
+        "training.domain_adaptation.self_training": {
+            "enabled": True, "threshold": 0.5, "lambda_pl": 0.1},
+    })
+    recorder = _recording(monkeypatch)
+    cli.main(["--config", cfg, "--synthetic", "--domain_adaptation"])
+    _assert_trained(recorder)
+    assert any("pl_coverage" in logs for logs in recorder.batch_logs)
