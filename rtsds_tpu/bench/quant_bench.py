@@ -22,7 +22,8 @@ Run (one TPU process): ``python -m rtsds_tpu.bench.quant_bench``.
 Env: QB_BATCH (8), QB_ITERS (8), QB_REPEATS (2), QB_SHAPES (csv filter);
 ``QB_E2E=1`` benches the WHOLE quantized network instead
 (``QB_POLICIES`` csv selects policy variants; default ships the
-measured winner).
+measured winner; ``QB_E2E_MODEL=bisenet`` switches the e2e comparison
+to the BiSeNet serving path, ``models/bisenet_int8.py``).
 
 MEASUREMENT CAVEAT (learned here): through the tunneled backend the
 per-shape slope numbers are NOISE below ~1 ms at the default iteration
@@ -227,14 +228,118 @@ def bench_e2e(batch=8, image_size=(512, 1024), iterations=8, repeats=2,
     return out
 
 
+def bench_e2e_bisenet(batch=48, image_size=(1024, 2048), iterations=8,
+                      repeats=2, policy_names=None):
+    """Whole-network serving comparison for BiSeNet at its production
+    shape (b48 @1024x2048 -- the headline inference config).  Settles
+    the round-2 microbench rejection with e2e numbers: the flax bf16
+    serving path vs the BN-folded walk vs W8A8 policies
+    (``models/bisenet_int8.py``)."""
+    from rtsds_tpu.models.bisenet import BiSeNet
+    from rtsds_tpu.models.bisenet_int8 import (
+        bisenet_int8_apply, build_quantized, calibrate, default_policy,
+        fold_bisenet)
+
+    model = BiSeNet(num_classes=19, context_path="resnet18",
+                    dtype=jnp.bfloat16, output_f32=False)
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (batch, *image_size, 3), jnp.float32)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(key, x)
+
+    def fwd_bf16(variables, x):
+        return jnp.argmax(model.apply(variables, x, train=False),
+                          -1).astype(jnp.int32)
+
+    folded = fold_bisenet(variables)
+    scales = calibrate(variables, [x], folded=folded)
+
+    def p_ctx234(name, shape):
+        import re
+        m = re.match(r"context_path/layer([1-4])", name)
+        return bool(m) and int(m.group(1)) >= 2
+
+    def p_ctx1234(name, shape):
+        return name.startswith("context_path/layer")
+
+    def p_default_sp2(name, shape):
+        return default_policy(name, shape) \
+            or name == "spatial_path/convblock2"
+
+    def p_default_ffm(name, shape):
+        return default_policy(name, shape) \
+            or name.startswith("ffm/convblock:")
+
+    def p_all_convs(name, shape):
+        return not name.startswith(("arm", "ffm/conv", "conv"))
+
+    policies = {"default": default_policy, "ctx234": p_ctx234,
+                "ctx1234": p_ctx1234, "default_sp2": p_default_sp2,
+                "default_ffm": p_default_ffm, "all_convs": p_all_convs}
+    if policy_names is None:
+        policy_names = os.environ.get("QB_POLICIES", "default").split(",")
+    unknown = [k for k in policy_names if k not in policies]
+    if unknown:
+        raise ValueError(f"unknown QB policies {unknown}; "
+                         f"choose from {sorted(policies)}")
+    policies = {k: policies[k] for k in policy_names}
+
+    def fwd_int8(qtree, x):
+        return jnp.argmax(bisenet_int8_apply(qtree, x), -1).astype(jnp.int32)
+
+    bf = latency_benchmark(fwd_bf16, (variables, x), iterations=iterations,
+                           repeats=repeats, warmup=1,
+                           images_per_call=batch, chain_index=1)
+
+    # the BN-folded walk in pure bf16 (zero quantized convs): isolates
+    # what the fold itself buys from what int8 buys
+    empty = build_quantized(variables, scales, policy=lambda n, s: False,
+                            folded=folded)
+
+    def fwd_folded(qtree, x):
+        return jnp.argmax(bisenet_int8_apply(qtree, x), -1).astype(jnp.int32)
+
+    fl = latency_benchmark(fwd_folded, (empty, x), iterations=iterations,
+                           repeats=repeats, warmup=1,
+                           images_per_call=batch, chain_index=1)
+    out = {
+        "e2e": "bisenet_r18_serving",
+        "image_size": list(image_size),
+        "batch": batch,
+        "bf16_ms": round(bf["mean_ms"], 3),
+        "bf16_fps": round(bf["fps"], 2),
+        "folded_bf16_ms": round(fl["mean_ms"], 3),
+        "folded_bf16_fps": round(fl["fps"], 2),
+    }
+    for pname, policy in policies.items():
+        qtree = build_quantized(variables, scales, policy=policy,
+                                folded=folded)
+        q8 = latency_benchmark(fwd_int8, (qtree, x), iterations=iterations,
+                               repeats=repeats, warmup=1,
+                               images_per_call=batch, chain_index=1)
+        out[pname] = {
+            "int8_ms": round(q8["mean_ms"], 3),
+            "int8_fps": round(q8["fps"], 2),
+            "speedup": (round(bf["mean_ms"] / q8["mean_ms"], 3)
+                        if q8["mean_ms"] > 0 else None),
+            "quantized_convs": len(qtree["q8"]),
+        }
+    return out
+
+
 def main():
     batch = int(os.environ.get("QB_BATCH", "8"))
     iters = int(os.environ.get("QB_ITERS", "8"))
     repeats = int(os.environ.get("QB_REPEATS", "2"))
 
     if os.environ.get("QB_E2E", "0") == "1":
-        print(json.dumps(bench_e2e(batch=batch, iterations=iters,
-                                   repeats=repeats)), flush=True)
+        if os.environ.get("QB_E2E_MODEL", "deeplab") == "bisenet":
+            print(json.dumps(bench_e2e_bisenet(batch=batch,
+                                               iterations=iters,
+                                               repeats=repeats)),
+                  flush=True)
+        else:
+            print(json.dumps(bench_e2e(batch=batch, iterations=iters,
+                                       repeats=repeats)), flush=True)
         return
     only = os.environ.get("QB_SHAPES")
     names = set(only.split(",")) if only else None

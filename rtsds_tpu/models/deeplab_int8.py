@@ -28,11 +28,11 @@ import jax.numpy as jnp
 
 from rtsds_tpu.models.layers import max_pool_3x3_s2
 from rtsds_tpu.ops.quant import (
-    conv_bf16,
-    conv_w8a8,
+    build_quantized_net,
+    calibrate_net,
     fold_bn,
-    quantize_act,
-    quantize_kernel,
+    make_bf16_op,
+    make_quant_op,
 )
 from rtsds_tpu.ops.resize import resize_bilinear
 
@@ -132,30 +132,8 @@ def calibrate(variables, batches, folded=None) -> dict:
     if folded is None:
         folded = fold_deeplab(variables)
     block_counts = _block_counts(variables["params"])
-
-    @jax.jit
-    def observe(folded, x):
-        maxes = {}
-
-        def op(name, x, stride, padding, dilation):
-            kernel, bias = folded[name]
-            maxes[name] = jnp.max(jnp.abs(x)).astype(jnp.float32)
-            return conv_bf16(x, kernel, bias, stride, padding, dilation)
-
-        _forward(op, x.astype(jnp.bfloat16), block_counts)
-        return maxes
-
-    totals: dict = {}
-    n = 0
-    for batch in batches:
-        maxes = observe(folded, jnp.asarray(batch))
-        maxes = jax.device_get(maxes)
-        for k, v in maxes.items():
-            totals[k] = max(totals.get(k, 0.0), float(v))
-        n += 1
-    if n == 0:
-        raise ValueError("calibration needs at least one batch")
-    return {k: max(v, 1e-12) / 127.0 for k, v in totals.items()}
+    return calibrate_net(
+        lambda op, x: _forward(op, x, block_counts), folded, batches)
 
 
 def default_policy(name: str, kernel_shape) -> bool:
@@ -183,37 +161,15 @@ def build_quantized(variables, act_scales: dict, policy=default_policy,
     precomputed :func:`fold_deeplab` tree."""
     if folded is None:
         folded = fold_deeplab(variables)
-    q8, bf = {}, {}
-    for name, (kernel, bias) in folded.items():
-        if policy(name, kernel.shape) and name in act_scales:
-            w_q, w_scale = quantize_kernel(kernel)
-            q8[name] = (w_q, w_scale,
-                        jnp.float32(act_scales[name]),
-                        None if bias is None
-                        else bias.astype(jnp.float32))
-        else:
-            bf[name] = (kernel.astype(jnp.bfloat16),
-                        None if bias is None
-                        else bias.astype(jnp.float32))
-    return {"q8": q8, "bf16": bf}
+    return build_quantized_net(folded, act_scales, policy)
 
 
 def deeplab_int8_apply(qtree, x, output_f32: bool = False):
     """The quantized serving forward (jittable; ``qtree`` is a pytree --
     stage structure is recovered from its static dict keys)."""
-    q8, bf = qtree["q8"], qtree["bf16"]
-    block_counts = _block_counts(list(q8) + list(bf))
-
-    def op(name, x, stride, padding, dilation):
-        if name in q8:
-            w_q, w_scale, x_scale, bias = q8[name]
-            x_q = quantize_act(x, x_scale)
-            return conv_w8a8(x_q, w_q, x_scale, w_scale, bias,
-                             stride, padding, dilation)
-        kernel, bias = bf[name]
-        return conv_bf16(x, kernel, bias, stride, padding, dilation)
-
-    logits = _forward(op, x.astype(jnp.bfloat16), block_counts)
+    block_counts = _block_counts(list(qtree["q8"]) + list(qtree["bf16"]))
+    logits = _forward(make_quant_op(qtree), x.astype(jnp.bfloat16),
+                      block_counts)
     return logits.astype(jnp.float32) if output_f32 else logits
 
 
@@ -224,11 +180,6 @@ def deeplab_bf16_apply(variables, x, output_f32: bool = False,
     the fold-exactness test surface against the flax model."""
     folded = fold_deeplab(variables)
     block_counts = _block_counts(variables["params"])
-
-    def op(name, x, stride, padding, dilation):
-        kernel, bias = folded[name]
-        return conv_bf16(x, kernel, bias, stride, padding, dilation,
-                         out_dtype=dtype)
-
-    logits = _forward(op, x.astype(dtype), block_counts)
+    logits = _forward(make_bf16_op(folded, out_dtype=dtype),
+                      x.astype(dtype), block_counts)
     return logits.astype(jnp.float32) if output_f32 else logits

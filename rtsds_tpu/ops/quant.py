@@ -92,3 +92,95 @@ def conv_bf16(x, kernel, bias, stride=1, padding=0, dilation=1,
     if bias is not None:
         y = y + bias.astype(out_dtype)
     return y
+
+
+# ---------------------------------------------------------------------------
+# Model-agnostic PTQ driver.  A model contributes (a) a fold function
+# producing {conv_name: (kernel, bias)} and (b) a topology walk
+# ``forward(op, x)`` where ``op(name, x, stride, padding, dilation)``
+# performs one BN-folded conv.  Everything else -- calibration, policy
+# application, the quantized/bf16 op dispatchers -- lives here once
+# (used by ``models/deeplab_int8.py`` and ``models/bisenet_int8.py``).
+# ---------------------------------------------------------------------------
+
+
+def calibrate_net(forward, folded, batches) -> dict:
+    """Static per-conv-input activation scales from calibration batches.
+
+    ``forward(op, x)`` is the model's topology walk; ``batches`` an
+    iterable of (N, H, W, C) arrays AFTER the production preprocess.
+    Returns {conv_name: float scale} with ``scale = max_abs / 127``
+    observed across all batches.  One jitted bf16 forward per batch
+    shape; convs sharing an input naturally record identical maxes.
+    """
+
+    @jax.jit
+    def observe(folded, x):
+        maxes = {}
+
+        def op(name, x, stride, padding, dilation):
+            kernel, bias = folded[name]
+            maxes[name] = jnp.max(jnp.abs(x)).astype(jnp.float32)
+            return conv_bf16(x, kernel, bias, stride, padding, dilation)
+
+        forward(op, x.astype(jnp.bfloat16))
+        return maxes
+
+    totals: dict = {}
+    n = 0
+    for batch in batches:
+        maxes = jax.device_get(observe(folded, jnp.asarray(batch)))
+        for k, v in maxes.items():
+            totals[k] = max(totals.get(k, 0.0), float(v))
+        n += 1
+    if n == 0:
+        raise ValueError("calibration needs at least one batch")
+    return {k: max(v, 1e-12) / 127.0 for k, v in totals.items()}
+
+
+def build_quantized_net(folded, act_scales: dict, policy):
+    """Quantized param tree: {'q8': {name: (w_q, w_scale, x_scale, bias)},
+    'bf16': {name: (kernel bf16, bias f32)}}.  ``policy(name,
+    kernel_shape) -> bool`` selects the convs worth quantizing."""
+    q8, bf = {}, {}
+    for name, (kernel, bias) in folded.items():
+        if policy(name, kernel.shape) and name in act_scales:
+            w_q, w_scale = quantize_kernel(kernel)
+            q8[name] = (w_q, w_scale,
+                        jnp.float32(act_scales[name]),
+                        None if bias is None
+                        else bias.astype(jnp.float32))
+        else:
+            bf[name] = (kernel.astype(jnp.bfloat16),
+                        None if bias is None
+                        else bias.astype(jnp.float32))
+    return {"q8": q8, "bf16": bf}
+
+
+def make_quant_op(qtree):
+    """The serving-time conv dispatcher over a :func:`build_quantized_net`
+    tree (jittable; dict keys are static)."""
+    q8, bf = qtree["q8"], qtree["bf16"]
+
+    def op(name, x, stride, padding, dilation):
+        if name in q8:
+            w_q, w_scale, x_scale, bias = q8[name]
+            x_q = quantize_act(x, x_scale)
+            return conv_w8a8(x_q, w_q, x_scale, w_scale, bias,
+                             stride, padding, dilation)
+        kernel, bias = bf[name]
+        return conv_bf16(x, kernel, bias, stride, padding, dilation)
+
+    return op
+
+
+def make_bf16_op(folded, out_dtype=jnp.bfloat16):
+    """BN-folded unquantized dispatcher -- the apples-to-apples baseline
+    (and, at ``out_dtype=float32``, the fold-exactness test surface)."""
+
+    def op(name, x, stride, padding, dilation):
+        kernel, bias = folded[name]
+        return conv_bf16(x, kernel, bias, stride, padding, dilation,
+                         out_dtype=out_dtype)
+
+    return op
