@@ -154,6 +154,27 @@ def main():
                 "quantized_convs": q["default"]["quantized_convs"],
             }
 
+            # W8A8 int8 BiSeNet serving at the production shape
+            # (models/bisenet_int8.py, measured-winning policy: all
+            # convs except the 3-channel stems + gate/logit 1x1s) --
+            # measured 1.249x (316 -> 395 FPS/chip) at b48 @1024x2048;
+            # int8 b48 beats the bf16 b64 batch plateau (324 FPS)
+            if model != "deeplab":
+                from rtsds_tpu.bench.quant_bench import bench_e2e_bisenet
+
+                bqb = int(os.environ.get("BENCH_QUANT_BISENET_BATCH",
+                                         "48"))
+                q = bench_e2e_bisenet(batch=bqb, iterations=2, repeats=2,
+                                      policy_names=("default",),
+                                      include_folded=False)
+                models["bisenet_1024x2048_int8_serving"] = {
+                    "fps_per_chip": q["default"]["int8_fps"],
+                    "p50_ms": q["default"]["int8_ms"],
+                    "speedup_vs_bf16": q["default"]["speedup"],
+                    "batch_size": bqb,
+                    "quantized_convs": q["default"]["quantized_convs"],
+                }
+
         # DA v2-variant step rate (reference train.py:322-500); the
         # BASELINE ">5x A100" gate is DEFINED ON V1 -- this records the
         # variant's cost so it cannot silently rot between rounds

@@ -10,6 +10,13 @@ MXU's 2x int8 peak start to pay (1.46x at 256 ch).  This bench answers,
 per conv shape and weighted by the block counts of R101 at 512x1024:
 would a W8A8 serving path beat the measured bf16 165 FPS / MFU 0.617?
 
+Round-4 postscript: the QB_E2E_MODEL=bisenet whole-network mode
+OVERTURNED the round-2 BiSeNet rejection -- e2e, every segment except
+the two 3-channel stems wins, composing to 1.249x (316 -> 395 FPS at
+b48 @1024x2048; ``models/bisenet_int8.default_policy``).  The
+shape-weighted microbench under-predicted by 10x on this workload:
+trust only whole-network numbers for quantization decisions.
+
 Variants per shape:
   * ``bf16``        -- the production serving path's conv.
   * ``int8_static`` -- weights AND activations pre-quantized (the upper
@@ -229,7 +236,8 @@ def bench_e2e(batch=8, image_size=(512, 1024), iterations=8, repeats=2,
 
 
 def bench_e2e_bisenet(batch=48, image_size=(1024, 2048), iterations=8,
-                      repeats=2, policy_names=None):
+                      repeats=2, policy_names=None,
+                      include_folded=True):
     """Whole-network serving comparison for BiSeNet at its production
     shape (b48 @1024x2048 -- the headline inference config).  Settles
     the round-2 microbench rejection with e2e numbers: the flax bf16
@@ -272,9 +280,18 @@ def bench_e2e_bisenet(batch=48, image_size=(1024, 2048), iterations=8,
     def p_all_convs(name, shape):
         return not name.startswith(("arm", "ffm/conv", "conv"))
 
+    def p_best(name, shape):
+        return (name.startswith("context_path/layer")
+                or name == "spatial_path/convblock3"
+                or name.startswith("ffm/convblock:"))
+
+    def p_best_sp2(name, shape):
+        return p_best(name, shape) or name == "spatial_path/convblock2"
+
     policies = {"default": default_policy, "ctx234": p_ctx234,
                 "ctx1234": p_ctx1234, "default_sp2": p_default_sp2,
-                "default_ffm": p_default_ffm, "all_convs": p_all_convs}
+                "default_ffm": p_default_ffm, "all_convs": p_all_convs,
+                "best": p_best, "best_sp2": p_best_sp2}
     if policy_names is None:
         policy_names = os.environ.get("QB_POLICIES", "default").split(",")
     unknown = [k for k in policy_names if k not in policies]
@@ -290,26 +307,31 @@ def bench_e2e_bisenet(batch=48, image_size=(1024, 2048), iterations=8,
                            repeats=repeats, warmup=1,
                            images_per_call=batch, chain_index=1)
 
-    # the BN-folded walk in pure bf16 (zero quantized convs): isolates
-    # what the fold itself buys from what int8 buys
-    empty = build_quantized(variables, scales, policy=lambda n, s: False,
-                            folded=folded)
-
-    def fwd_folded(qtree, x):
-        return jnp.argmax(bisenet_int8_apply(qtree, x), -1).astype(jnp.int32)
-
-    fl = latency_benchmark(fwd_folded, (empty, x), iterations=iterations,
-                           repeats=repeats, warmup=1,
-                           images_per_call=batch, chain_index=1)
     out = {
         "e2e": "bisenet_r18_serving",
         "image_size": list(image_size),
         "batch": batch,
         "bf16_ms": round(bf["mean_ms"], 3),
         "bf16_fps": round(bf["fps"], 2),
-        "folded_bf16_ms": round(fl["mean_ms"], 3),
-        "folded_bf16_fps": round(fl["fps"], 2),
     }
+    if include_folded:
+        # the BN-folded walk in pure bf16 (zero quantized convs):
+        # isolates what the fold itself buys from what int8 buys
+        # (measured: NOTHING on v5e -- 151.7 vs 151.7 ms at b48; XLA
+        # already fuses the BN affine into the convs)
+        empty = build_quantized(variables, scales,
+                                policy=lambda n, s: False, folded=folded)
+
+        def fwd_folded(qtree, x):
+            return jnp.argmax(bisenet_int8_apply(qtree, x),
+                              -1).astype(jnp.int32)
+
+        fl = latency_benchmark(fwd_folded, (empty, x),
+                               iterations=iterations, repeats=repeats,
+                               warmup=1, images_per_call=batch,
+                               chain_index=1)
+        out["folded_bf16_ms"] = round(fl["mean_ms"], 3)
+        out["folded_bf16_fps"] = round(fl["fps"], 2)
     for pname, policy in policies.items():
         qtree = build_quantized(variables, scales, policy=policy,
                                 folded=folded)

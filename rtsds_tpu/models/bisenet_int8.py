@@ -17,12 +17,14 @@ with each part carrying its OWN activation scale), SE gate, final 1x1
 conv before the 8x upsample.
 
 Round 2 rejected BiSeNet int8 on a microbench-weighted estimate
-(<15%); the round-4 DeepLab work showed whole-network numbers and
-policy choice can overturn shape-weighted estimates (its e2e win came
-with batch scaling the microbench could not see), so this module
-exists to settle the question e2e (``bench/quant_bench.py``
-QB_E2E_MODEL=bisenet).  The reference has no quantization; this is a
-TPU-native serving extension.
+(<15%, with predicted losses on the 64-ch convs); the e2e measurement
+this module enabled OVERTURNED that: the shipped policy runs **1.249x**
+(316 -> 395 FPS/chip at b48 @1024x2048 on v5e) -- see
+:func:`default_policy` for the measured policy space
+(``bench/quant_bench.py`` QB_E2E_MODEL=bisenet).  int8 b64 exceeds HBM
+(the bf16 batch plateau b64 = 324 FPS is beaten at b48 int8), so b48
+stays the headline batch.  The reference has no quantization; this is
+a TPU-native serving extension.
 """
 
 from __future__ import annotations
@@ -194,16 +196,27 @@ def calibrate(variables, batches, folded=None) -> dict:
 
 
 def default_policy(name: str, kernel_shape) -> bool:
-    """Quantize where the whole-network measurement says int8 wins
-    (``bench/quant_bench.py`` QB_E2E_MODEL=bisenet on v5e, b48
-    @1024x2048): context-path stages 2-4 plus the third spatial-path
-    block.  Stage 1 and the stems run at high resolution with 64
-    channels where int8 measured as a LOSS (PERF.md); the ARM/FFM/final
-    1x1 gates are tiny pooled convs and the accuracy-critical logits."""
-    m = re.match(r"context_path/layer([1-4])", name)
-    if m:
-        return int(m.group(1)) >= 2
-    return name == "spatial_path/convblock3"
+    """Quantize everything EXCEPT the two 3-channel input stems, the
+    tiny pooled gate convs, and the final logits conv.
+
+    Measured e2e (``bench/quant_bench.py`` QB_E2E_MODEL=bisenet, v5e,
+    b48 @1024x2048, the production serving config): this policy runs
+    121.5 ms vs 151.7 bf16 = **1.249x** (316 -> 395 FPS/chip).  The
+    round-2 shape-weighted microbench predicted <15% and even losses on
+    the 64-ch convs -- e2e, every segment wins EXCEPT the 3-channel
+    full-resolution stems (quantizing those two convs alone costs
+    ~17 ms: ``all_convs`` measured 1.093x).  Partial policies stack
+    sublinearly (ctx-only 1.154x, ctx+ffm 1.157x) -- quantize
+    everything the stems/gates rule allows.  ARM/FFM gates are
+    1x1-on-pooled (nothing to win); the final 1x1 produces the
+    accuracy-critical logits."""
+    if kernel_shape[2] <= 3:  # the 3-channel stems (spatial cb1 + 7x7)
+        return False
+    # ARM gates, FFM SE gates (NOT the split convblock parts), logits
+    if name.startswith("arm") or name in ("ffm/conv1", "ffm/conv2",
+                                          "conv"):
+        return False
+    return True
 
 
 def build_quantized(variables, act_scales: dict, policy=default_policy,

@@ -145,11 +145,12 @@ class Predictor:
       protocol_kwargs: forwarded to the protocol builder, e.g.
         ``{"scales": (0.75, 1.0, 1.25), "flip": True}`` or
         ``{"window": (1024, 2048), "stride": None}``.
-      quantize: ``"int8"`` serves DeepLab through the W8A8 post-training
-        quantized path (``models/deeplab_int8.py``: BN folded, int8
-        convs on the MXU's 2x-rate path).  Requires ``calib_frames``.
-        BiSeNet is rejected -- int8 measured as a LOSS on its
-        bandwidth-bound profile (PERF.md round 2).
+      quantize: ``"int8"`` serves through the W8A8 post-training
+        quantized path (``models/deeplab_int8.py`` /
+        ``models/bisenet_int8.py``: BN folded, int8 convs on the MXU's
+        2x-rate path, measured per-model policies -- DeepLab +13% at b8
+        and +41% at its b32 batch plateau; BiSeNet +15% at b48
+        @1024x2048, PERF.md).  Requires ``calib_frames``.
       calib_frames: (N, H, W, 3) uint8 frames used once at construction
         to calibrate the static activation scales (a handful of
         representative frames; they go through the production
@@ -198,19 +199,19 @@ class Predictor:
             if quantize != "int8":
                 raise ValueError(f"unknown quantize mode {quantize!r} "
                                  f"(supported: 'int8')")
-            if model_name != "deeplab":
-                raise ValueError(
-                    "quantize='int8' is implemented for deeplab only "
-                    "(int8 measured as a loss on bisenet's bandwidth-"
-                    "bound conv profile, PERF.md)")
             if calib_frames is None:
                 raise ValueError(
                     "quantize='int8' needs calib_frames: a few "
                     "representative (N, H, W, 3) uint8 frames to "
                     "calibrate the static activation scales")
-            from rtsds_tpu.models.deeplab_int8 import (
-                build_quantized, calibrate, deeplab_int8_apply,
-                fold_deeplab)
+            if model_name == "deeplab":
+                from rtsds_tpu.models.deeplab_int8 import (
+                    build_quantized, calibrate, fold_deeplab as fold,
+                    deeplab_int8_apply as int8_apply)
+            else:
+                from rtsds_tpu.models.bisenet_int8 import (
+                    build_quantized, calibrate, fold_bisenet as fold,
+                    bisenet_int8_apply as int8_apply)
 
             calib = np.asarray(calib_frames, dtype=np.uint8)
             if calib.ndim == 3:
@@ -230,12 +231,12 @@ class Predictor:
             calib_batches = (
                 normalize(jnp.asarray(c, jnp.float32),
                           correct_preprocessing) for c in chunks)
-            folded = fold_deeplab(variables)
+            folded = fold(variables)
             scales = calibrate(variables, calib_batches, folded=folded)
             variables = build_quantized(variables, scales, folded=folded)
 
             def apply_fn(qtree, x, train=False):
-                return deeplab_int8_apply(qtree, x)
+                return int8_apply(qtree, x)
 
         # multi-chip serving: replicate weights over the mesh and shard
         # the incoming frame batch ('batch', the throughput mode) or each
@@ -429,8 +430,8 @@ def main(argv=None):
                              "shards image height (single-frame latency)")
     parser.add_argument("--quantize", type=str, default=None,
                         choices=["int8"],
-                        help="serve DeepLab through the W8A8 post-training"
-                             " quantized path (activation scales are "
+                        help="serve through the W8A8 post-training "
+                             "quantized path (activation scales are "
                              "calibrated on the given input images)")
     args = parser.parse_args(argv)
 
@@ -457,9 +458,6 @@ def main(argv=None):
     if args.quantize and not args.images:
         parser.error("--quantize needs input images to calibrate the "
                      "activation scales")
-    if args.quantize and args.model != "deeplab":
-        parser.error("--quantize int8 is implemented for --model deeplab "
-                     "(int8 measured as a loss on bisenet's profile)")
 
     from rtsds_tpu.data.pipeline import decode_image
 

@@ -369,8 +369,8 @@ def main(argv=None):
                         help="persistent XLA compile cache: restarted "
                              "servers skip the minutes-long first compile")
     parser.add_argument("--quantize", default=None, choices=["int8"],
-                        help="serve DeepLab through the W8A8 quantized "
-                             "path (needs --calib_images)")
+                        help="serve through the W8A8 quantized path "
+                             "(needs --calib_images)")
     parser.add_argument("--calib_images", nargs="*", default=None,
                         metavar="PNG",
                         help="representative frames to calibrate the int8 "
@@ -381,9 +381,6 @@ def main(argv=None):
         if args.artifact:
             parser.error("--quantize happens at predictor build time; "
                          "the artifact is already a compiled program")
-        if args.model != "deeplab":
-            parser.error("--quantize int8 is implemented for --model "
-                         "deeplab (int8 measured as a loss on bisenet)")
         if not args.calib_images:
             parser.error("--quantize needs --calib_images")
 

@@ -194,9 +194,6 @@ def test_predictor_int8_serving():
     with pytest.raises(ValueError, match="calib_frames"):
         Predictor(model_name="deeplab", image_size=(32, 64),
                   quantize="int8")
-    with pytest.raises(ValueError, match="bisenet"):
-        Predictor(model_name="bisenet", image_size=(32, 64),
-                  quantize="int8", calib_frames=calib)
     with pytest.raises(ValueError, match="unknown quantize"):
         Predictor(model_name="deeplab", image_size=(32, 64),
                   quantize="int4", calib_frames=calib)

@@ -127,8 +127,8 @@ def test_serve_cli_mesh_rejects_aot(tmp_path):
 
 
 def test_serve_cli_quantize_flag(tmp_path):
-    """--quantize int8 serves DeepLab through the W8A8 path, calibrating
-    on the input images; misuse flags error out up front."""
+    """--quantize int8 serves BOTH models through the W8A8 path,
+    calibrating on the input images; misuse flags error out up front."""
     import pytest
     from PIL import Image
 
@@ -143,9 +143,13 @@ def test_serve_cli_quantize_flag(tmp_path):
     mask = np.asarray(Image.open(out / "frame_mask.png"))
     assert mask.shape == (32, 64) and mask.max() < 19
 
+    out2 = tmp_path / "out2"
+    serve.main([str(p), "--size", "32, 64", "--out", str(out2),
+                "--model", "bisenet", "--quantize", "int8"])
+    mask = np.asarray(Image.open(out2 / "frame_mask.png"))
+    assert mask.shape == (32, 64) and mask.max() < 19
+
     with pytest.raises(SystemExit):  # no images to calibrate on
         serve.main(["--size", "32, 64", "--model", "deeplab",
                     "--quantize", "int8",
                     "--export", str(tmp_path / "x.rtsds")])
-    with pytest.raises(SystemExit):  # bisenet: rejected as a flag check
-        serve.main([str(p), "--size", "32, 64", "--quantize", "int8"])

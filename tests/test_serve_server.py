@@ -480,11 +480,10 @@ def test_server_main_quantize_flags(tmp_path):
     with pytest.raises(SystemExit):  # artifact conflicts
         serve_server.main(["--artifact", "x.rtsds", "--quantize", "int8",
                            "--calib_images", "a.png"])
-    with pytest.raises(SystemExit):  # bisenet rejected as a flag check
-        serve_server.main(["--quantize", "int8",
-                           "--calib_images", "a.png"])
     with pytest.raises(SystemExit):  # missing calib images
         serve_server.main(["--model", "deeplab", "--quantize", "int8"])
+    with pytest.raises(SystemExit):  # missing calib images (bisenet is
+        serve_server.main(["--quantize", "int8"])  # accepted since r4)
 
 
 def test_server_main_quantize_serves(tmp_path, monkeypatch):
