@@ -37,6 +37,7 @@ def supervised_step_benchmark(model_name: str = "bisenet",
                               dtype=jnp.bfloat16,
                               backbone: str = "resnet18",
                               distill_teacher: str | None = None,
+                              distill_quant: str | None = None,
                               grad_clip: float = 0.0,
                               bn_eval: bool = False) -> dict:
     from rtsds_tpu.train.optim import make_optimizer
@@ -76,7 +77,16 @@ def supervised_step_benchmark(model_name: str = "bisenet",
         teacher = build(distill_teacher)
         t_vars = dict(teacher.init(jax.random.key(1), jnp.zeros_like(x),
                                    train=False))
-        kd_step = make_distill_step(teacher.apply,
+        if distill_quant == "int8":
+            # cost is shape-dependent; random weights calibrated on the
+            # bench input are representative
+            from rtsds_tpu.train.distill import quantize_teacher
+
+            t_apply, t_vars = quantize_teacher(distill_teacher, t_vars,
+                                               [x])
+        else:
+            t_apply = teacher.apply
+        kd_step = make_distill_step(t_apply,
                                     ignore_index=num_classes,
                                     donate=False)
 
@@ -105,6 +115,8 @@ def supervised_step_benchmark(model_name: str = "bisenet",
         "model": model_name,
         "backbone": backbone,
         **({"distill_teacher": distill_teacher} if distill_teacher else {}),
+        **({"distill_quant": distill_quant}
+           if distill_teacher and distill_quant else {}),
         "steps_per_sec": 1.0 / best,
         "ms_per_step": best * 1000.0,
         "ms_per_sample": best * 1000.0 / batch_size,
@@ -123,15 +135,18 @@ def main():
     steps = int(os.environ.get("TRAIN_STEPS", "5"))
     backbone = os.environ.get("TRAIN_BACKBONE", "resnet18")
     distill = os.environ.get("TRAIN_DISTILL") or None
+    distill_quant = os.environ.get("TRAIN_DISTILL_QUANT") or None
     grad_clip = float(os.environ.get("TRAIN_GRAD_CLIP", "0"))
     bn_eval = os.environ.get("TRAIN_BN_EVAL", "0") == "1"
     stats = supervised_step_benchmark(model, batch_size=batch,
                                       image_size=size, steps=steps,
                                       backbone=backbone,
                                       distill_teacher=distill,
+                                      distill_quant=distill_quant,
                                       grad_clip=grad_clip,
                                       bn_eval=bn_eval)
-    name = (f"{model}_distill_from_{distill}_train_step" if distill
+    suffix = f"_{distill_quant}" if distill and distill_quant else ""
+    name = (f"{model}_distill_from_{distill}{suffix}_train_step" if distill
             else f"{model}_supervised_train_step")
     print(json.dumps({"metric": name,
                       "value": round(stats["ms_per_step"], 2),

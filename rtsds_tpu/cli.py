@@ -684,14 +684,41 @@ def _main(argv=None):
                 make_distill_step,
             )
 
+            quantize = t_cfg.get("quantize") or None
+            if quantize not in (None, "int8"):
+                raise SystemExit(
+                    f"distillation.teacher.quantize {quantize!r} is not "
+                    "supported (null or int8)")
+            n_calib = int(t_cfg.get("calib_batches", 2))
+            if quantize and n_calib < 1:
+                raise SystemExit("distillation.teacher.calib_batches "
+                                 f"{n_calib} must be >= 1")
             teacher_bundle = build_supervised(config, teacher_name,
                                               len(train_loader))
             teacher_vars = jax.device_put(
                 load_teacher_variables(
                     t_dir, use_ema=bool(t_cfg.get("use_ema", True))),
                 replicated_sharding(mesh))
+            if quantize == "int8":
+                # W8A8 the frozen teacher via the serving PTQ driver,
+                # calibrated on real training batches (same preprocess
+                # the step will feed it)
+                from rtsds_tpu.train.distill import quantize_teacher
+
+                calib = []
+                for images, _ in _device_batches(train_loader,
+                                                 train_transform, mesh):
+                    calib.append(images)
+                    if len(calib) >= n_calib:
+                        break
+                teacher_apply, teacher_vars = quantize_teacher(
+                    teacher_name, teacher_vars, calib)
+                teacher_vars = jax.device_put(teacher_vars,
+                                              replicated_sharding(mesh))
+            else:
+                teacher_apply = teacher_bundle.model.apply
             d_step = make_distill_step(
-                teacher_bundle.model.apply, ignore_index=ignore_index,
+                teacher_apply, ignore_index=ignore_index,
                 temperature=float(dist_cfg.get("temperature", 2.0)),
                 alpha=float(dist_cfg.get("alpha", 0.5)))
 

@@ -265,8 +265,12 @@ _DEFAULTS: dict = {
                 "enabled": False,
                 "temperature": 2.0,
                 "alpha": 0.5,
+                # teacher.quantize: int8 runs the frozen teacher through
+                # the W8A8 serving path (train/distill.py:quantize_teacher)
+                # calibrated on the first calib_batches training batches
                 "teacher": {"model": "deeplab", "checkpoint_dir": "",
-                            "use_ema": True},
+                            "use_ema": True, "quantize": None,
+                            "calib_batches": 2},
             },
         },
         "domain_adaptation": {

@@ -105,6 +105,50 @@ def make_distill_step(teacher_apply_fn, ignore_index: int | None = 19, *,
     return jax.jit(step)
 
 
+def quantize_teacher(teacher_name: str, teacher_variables, calib_batches,
+                     policy=None):
+    """W8A8-quantize the frozen KD teacher (TPU-native extension).
+
+    The teacher forward is a pure eval-mode inference repeated every
+    step — exactly the serving profile the PTQ driver (``ops/quant.py``)
+    was measured on (DeepLab 1.13x, BiSeNet 1.249x), so quantizing it
+    recovers most of distillation's overhead while the student stays
+    full-precision.  Soft targets tolerate the int8 logit perturbation:
+    serving-path tests gate mask agreement and the trained-model mIoU
+    within 2 points, and the KL target is softmax-smoothed on top.
+
+    ``calib_batches``: iterable of image batches AFTER the production
+    preprocess (the same distribution the teacher will see in the step).
+    Returns ``(apply_fn, qtree)``: ``apply_fn`` is a drop-in
+    ``teacher_apply_fn`` for :func:`make_distill_step` and ``qtree``
+    replaces ``teacher_variables`` as the step's second argument (still
+    a pytree, still passed — never baked into the HLO).
+    """
+    if teacher_name == "deeplab":
+        from rtsds_tpu.models import deeplab_int8 as q
+
+        folded = q.fold_deeplab(teacher_variables)
+        int8_apply = q.deeplab_int8_apply
+    elif teacher_name == "bisenet":
+        from rtsds_tpu.models import bisenet_int8 as q
+
+        folded = q.fold_bisenet(teacher_variables)
+        int8_apply = q.bisenet_int8_apply
+    else:
+        raise ValueError(f"no int8 teacher path for {teacher_name!r} "
+                         "(expected 'bisenet' or 'deeplab')")
+    scales = q.calibrate(teacher_variables, calib_batches, folded=folded)
+    qtree = q.build_quantized(teacher_variables, scales,
+                              *(() if policy is None else (policy,)),
+                              folded=folded)
+
+    def apply_fn(variables, images, train=False):
+        del train  # the quantized walk is eval-mode by construction
+        return int8_apply(variables, images)
+
+    return apply_fn, qtree
+
+
 def load_teacher_variables(checkpoint_dir: str, use_ema: bool = True):
     """Frozen teacher weights from a ModelCheckpoint directory.
 
