@@ -1,0 +1,176 @@
+"""Offline pseudo-label generation (``rtsds_tpu/pseudo_label.py``).
+
+The tool's contract: sweep a trained checkpoint over a Cityscapes-layout
+image tree and emit a gtFine-style trainId label tree that the existing
+dataset index pairs with the images — thresholded (scalar or CBST
+per-class), at original image resolution, optionally through the W8A8
+serving path.  The reference has no self-training; this gates OUR
+extension (the offline round of Zou et al. ECCV'18 / Li et al. CVPR'19).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from rtsds_tpu.data.indexing import build_cityscapes_index
+from rtsds_tpu.models.bisenet import BiSeNet
+from rtsds_tpu.pseudo_label import generate_pseudo_labels, main
+from rtsds_tpu.train.optim import make_optimizer
+from rtsds_tpu.train.state import create_train_state
+from realdata_fixtures import make_cityscapes_tree
+
+HW = (32, 64)          # inference size
+DISK = (48, 96)        # fixture images' on-disk size
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pl")
+    dirs = make_cityscapes_tree(str(root / "cs"), n_train=5, n_val=2,
+                                disk_size=DISK)
+    state = create_train_state(
+        BiSeNet(num_classes=19, context_path="resnet18", output_f32=False),
+        jax.random.key(0), jnp.zeros((1, *HW, 3)),
+        make_optimizer("Adam", 0.01))
+    from rtsds_tpu.callbacks.checkpoint import CheckpointManager
+
+    ckpt = str(root / "ckpt")
+    mgr = CheckpointManager(ckpt)
+    mgr.save(1, {"model": state}, monitor=0.5)
+    mgr.close()
+    return ckpt, dirs["images_train_dir"], str(root)
+
+
+def test_zero_threshold_full_coverage_pairable_tree(setup):
+    """threshold 0: every pixel kept; the output pairs via the real
+    Cityscapes index and labels come back at ORIGINAL resolution."""
+    ckpt, images, root = setup
+    out = os.path.join(root, "out_t0")
+    stats = generate_pseudo_labels(ckpt, images, out, image_size=HW,
+                                   batch_size=2, threshold=0.0)
+    assert stats["images"] == 5
+    assert stats["coverage"] == pytest.approx(1.0)
+
+    samples = build_cityscapes_index(out, images)
+    assert len(samples) == 5
+    for s in samples:
+        arr = np.asarray(Image.open(s.label))
+        assert arr.shape == DISK          # full_res default
+        assert arr.max() <= 19 and arr.min() >= 0
+        assert (arr < 19).all()           # nothing ignored at thr 0
+
+
+def test_threshold_gates_to_ignore_index(setup):
+    """An unreachable confidence bar maps everything to ignore_index.
+    (A random-init net SATURATES softmax to exactly 1.0 in f32 on most
+    pixels, so the bar must sit strictly above 1.0 to gate them all —
+    thresholds are `conf >= thr` by design, matching the online step.)"""
+    ckpt, images, root = setup
+    out = os.path.join(root, "out_t1")
+    stats = generate_pseudo_labels(ckpt, images, out, image_size=HW,
+                                   batch_size=2, threshold=1.01)
+    assert stats["coverage"] == 0.0
+    arr = np.asarray(Image.open(
+        build_cityscapes_index(out, images)[0].label))
+    assert (arr == 19).all()
+
+
+def test_cbst_calibration_per_class_bars(setup):
+    """--calibrate derives a (num_classes,) threshold vector and keeps
+    roughly the requested portion of pixels."""
+    ckpt, images, root = setup
+    out = os.path.join(root, "out_cbst")
+    stats = generate_pseudo_labels(ckpt, images, out, image_size=HW,
+                                   batch_size=2, calibrate=True,
+                                   portion=0.5, calib_batches=2)
+    assert len(stats["threshold"]) == 19
+    assert 0.2 < stats["coverage"] <= 1.0
+    assert abs(sum(stats["class_share"]) - 1.0) < 1e-3
+
+
+def test_int8_sweep_agrees_with_bf16(setup):
+    """--quantize int8 runs the sweep through the W8A8 path; masks agree
+    with the full-precision sweep on nearly every pixel."""
+    ckpt, images, root = setup
+    out_q = os.path.join(root, "out_q8")
+    stats = generate_pseudo_labels(ckpt, images, out_q, image_size=HW,
+                                   batch_size=2, threshold=0.0,
+                                   quantize="int8", calib_batches=1)
+    assert stats["quantize"] == "int8"
+    base = build_cityscapes_index(os.path.join(root, "out_t0"), images)
+    quant = build_cityscapes_index(out_q, images)
+    agree = np.concatenate([
+        (np.asarray(Image.open(a.label))
+         == np.asarray(Image.open(b.label))).reshape(-1)
+        for a, b in zip(base, quant)])
+    assert agree.mean() > 0.9, f"int8 mask agreement {agree.mean():.3f}"
+
+
+def test_cli_main_emits_stats_json(setup, capsys):
+    ckpt, images, root = setup
+    out = os.path.join(root, "out_cli")
+    main(["--checkpoint_dir", ckpt, "--images", images, "--out", out,
+          "--size", f"{HW[0]}, {HW[1]}", "--batch", "2",
+          "--threshold", "0.0", "--model_res"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["images"] == 5
+    # --model_res keeps the inference resolution
+    arr = np.asarray(Image.open(
+        build_cityscapes_index(out, images)[0].label))
+    assert arr.shape == HW
+
+
+@pytest.mark.slow
+def test_offline_round_drill(tmp_path, monkeypatch):
+    """The full RUNBOOK stage-2b round through the real CLI: train on
+    the fixture tree, sweep the checkpoint into a pseudo-label tree,
+    point segmentation_train_dir at it, fine-tune — every command a
+    user would run."""
+    import yaml
+
+    from rtsds_tpu import cli
+    from test_e2e_realdata import _config
+    from test_e2e_features import _recording
+
+    from realdata_fixtures import make_gta5_tree
+
+    cs = make_cityscapes_tree(str(tmp_path / "cs"), n_train=4, n_val=2,
+                              disk_size=DISK)
+    gta = make_gta5_tree(str(tmp_path / "gta"), n=2)
+    cfg = _config(tmp_path, cs, gta)
+    cli.main(["--config", cfg, "--model", "bisenet"])
+
+    out = str(tmp_path / "pseudo")
+    stats = generate_pseudo_labels(str(tmp_path / "ckpt" / "model"),
+                                   cs["images_train_dir"], out,
+                                   image_size=(32, 64), batch_size=2,
+                                   threshold=0.0)
+    assert stats["images"] == 4
+
+    # round 2: fine-tune on the pseudo-labels (fresh checkpoint dir so
+    # the drill doesn't resume the teacher)
+    cfg2 = yaml.safe_load(open(cfg))
+    cfg2["data"]["cityscapes"]["segmentation_train_dir"] = out
+    cfg2["callbacks"]["model_checkpoint"]["save_dir"] = \
+        str(tmp_path / "ckpt2")
+    path2 = tmp_path / "round2.yaml"
+    path2.write_text(yaml.safe_dump(cfg2))
+    recorder = _recording(monkeypatch)
+    cli.main(["--config", str(path2), "--model", "bisenet"])
+    assert recorder.train_ended
+    assert np.isfinite(recorder.batch_logs[-1]["train_loss"])
+
+
+def test_rejects_empty_tree_and_bad_quantize(setup, tmp_path):
+    ckpt, images, _ = setup
+    with pytest.raises(SystemExit, match="no .png"):
+        generate_pseudo_labels(ckpt, str(tmp_path / "empty"),
+                               str(tmp_path / "o"), image_size=HW)
+    with pytest.raises(SystemExit, match="quantize"):
+        generate_pseudo_labels(ckpt, images, str(tmp_path / "o"),
+                               image_size=HW, quantize="int4")
