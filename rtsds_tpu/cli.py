@@ -693,29 +693,39 @@ def _main(argv=None):
             if quantize and n_calib < 1:
                 raise SystemExit("distillation.teacher.calib_batches "
                                  f"{n_calib} must be >= 1")
-            teacher_bundle = build_supervised(config, teacher_name,
-                                              len(train_loader))
             teacher_vars = jax.device_put(
                 load_teacher_variables(
                     t_dir, use_ema=bool(t_cfg.get("use_ema", True))),
                 replicated_sharding(mesh))
-            if quantize == "int8":
+            if quantize == "int8" and not args.validate_only:
                 # W8A8 the frozen teacher via the serving PTQ driver,
-                # calibrated on real training batches (same preprocess
-                # the step will feed it)
+                # calibrated on batches exactly as the STEP will see
+                # them (augmented when augmentation is on).  Skipped
+                # under --validate_only: the train step never runs, and
+                # calibration costs a teacher compile.
                 from rtsds_tpu.train.distill import quantize_teacher
 
                 calib = []
-                for images, _ in _device_batches(train_loader,
-                                                 train_transform, mesh):
+                for images, _ in _device_batches(
+                        train_loader, train_transform, mesh,
+                        key=(jax.random.fold_in(aug_key, 0)
+                             if train_augment else None),
+                        augment=train_augment):
                     calib.append(images)
                     if len(calib) >= n_calib:
                         break
+                # the calibration consumed part of a shuffle pass
+                # (loader._epoch advanced); rewind so epoch 0 draws the
+                # same permutation as an unquantized run (the
+                # deterministic-resume contract, data/pipeline.py)
+                train_loader.set_epoch(0)
                 teacher_apply, teacher_vars = quantize_teacher(
                     teacher_name, teacher_vars, calib)
                 teacher_vars = jax.device_put(teacher_vars,
                                               replicated_sharding(mesh))
             else:
+                teacher_bundle = build_supervised(config, teacher_name,
+                                                  len(train_loader))
                 teacher_apply = teacher_bundle.model.apply
             d_step = make_distill_step(
                 teacher_apply, ignore_index=ignore_index,

@@ -174,6 +174,43 @@ def make_quant_op(qtree):
     return op
 
 
+def quantize_model(model_name: str, variables, calib_batches, policy=None):
+    """One-call W8A8 PTQ over a whole model: dispatch to the per-model
+    fold/calibrate/build pipeline and wrap the quantized walk in an
+    eval-mode apply.
+
+    ``calib_batches``: iterable of image batches AFTER the production
+    preprocess.  Returns ``(apply_fn, qtree)`` where
+    ``apply_fn(qtree, images, train=False)`` is signature-compatible
+    with a flax ``model.apply`` in eval mode — a drop-in for any pure
+    inference consumer (the KD teacher, the pseudo-label sweep, the
+    Predictor builds its own for serving-specific policy plumbing).
+    """
+    if model_name == "deeplab":
+        from rtsds_tpu.models import deeplab_int8 as q
+
+        folded = q.fold_deeplab(variables)
+        int8_apply = q.deeplab_int8_apply
+    elif model_name == "bisenet":
+        from rtsds_tpu.models import bisenet_int8 as q
+
+        folded = q.fold_bisenet(variables)
+        int8_apply = q.bisenet_int8_apply
+    else:
+        raise ValueError(f"no int8 path for model {model_name!r} "
+                         "(expected 'bisenet' or 'deeplab')")
+    scales = q.calibrate(variables, calib_batches, folded=folded)
+    qtree = q.build_quantized(variables, scales,
+                              *(() if policy is None else (policy,)),
+                              folded=folded)
+
+    def apply_fn(variables, images, train=False):
+        del train  # the quantized walk is eval-mode by construction
+        return int8_apply(variables, images)
+
+    return apply_fn, qtree
+
+
 def make_bf16_op(folded, out_dtype=jnp.bfloat16):
     """BN-folded unquantized dispatcher -- the apples-to-apples baseline
     (and, at ``out_dtype=float32``, the fold-exactness test surface)."""

@@ -121,28 +121,34 @@ def generate_pseudo_labels(checkpoint_dir: str, images_dir: str,
                 frames.append(frames[0])
             yield np.stack(frames), metas
 
-    if quantize is not None:
-        if quantize != "int8":
-            raise SystemExit(f"pseudo_label: quantize {quantize!r} is not "
-                             "supported (int8)")
-        # the offline sweep is pure serving — the profile the W8A8 path
-        # was measured on; reuse the teacher-quantization entry point
-        from rtsds_tpu.train.distill import quantize_teacher
+    if quantize is not None and quantize != "int8":
+        raise SystemExit(f"pseudo_label: quantize {quantize!r} is not "
+                         "supported (int8)")
+    calib_data = None
+    if quantize or calibrate:
+        # decode the calibration batches ONCE (full-res PNG decode is
+        # the host bottleneck) and share them between the W8A8 scales
+        # and the CBST bars
+        calib_data = [f for f, _ in _take(batches(), max(1, calib_batches))]
 
-        calib_iter = (normalize(jnp.asarray(f, jnp.float32),
-                                correct_preprocessing)
-                      for f, _ in _take(batches(), max(1, calib_batches)))
-        apply_fn, variables = quantize_teacher(model_name, variables,
-                                               calib_iter)
+    if quantize == "int8":
+        # the offline sweep is pure serving — the profile the W8A8 path
+        # was measured on
+        from rtsds_tpu.ops.quant import quantize_model
+
+        apply_fn, variables = quantize_model(
+            model_name, variables,
+            (normalize(jnp.asarray(f, jnp.float32), correct_preprocessing)
+             for f in calib_data))
 
     if calibrate:
         # CBST per-class bars from the checkpoint's own confidence
         # histograms over the first calib_batches batches
-        cal = (normalize(jnp.asarray(f, jnp.float32),
-                         correct_preprocessing)
-               for f, _ in _take(batches(), max(1, calib_batches)))
         threshold = calibrate_class_thresholds(
-            apply_fn, variables, cal, num_classes, portion=portion)
+            apply_fn, variables,
+            (normalize(jnp.asarray(f, jnp.float32), correct_preprocessing)
+             for f in calib_data),
+            num_classes, portion=portion)
     thr = jnp.asarray(threshold, jnp.float32)
 
     @jax.jit
@@ -151,19 +157,17 @@ def generate_pseudo_labels(checkpoint_dir: str, images_dir: str,
         out = apply_fn(variables, x, train=False)
         if isinstance(out, (tuple, list)):
             out = out[0]
-        labels, coverage = pseudo_labels(out, thr, ignore_index)
-        return labels.astype(jnp.uint8), coverage
+        # coverage is recomputed on host from REAL images only (the last
+        # batch pads by repetition, which would bias a device-side mean)
+        labels, _ = pseudo_labels(out, thr, ignore_index)
+        return labels.astype(jnp.uint8)
 
     n_px = 0
     kept = np.zeros((num_classes,), np.int64)
-    coverage_sum = 0.0
-    n_batches = 0
     n_images = 0
+    seen: dict[str, str] = {}
     for frames, metas in batches():
-        masks, coverage = jax.device_get(
-            infer(variables, jnp.asarray(frames), thr))
-        coverage_sum += float(coverage)
-        n_batches += 1
+        masks = jax.device_get(infer(variables, jnp.asarray(frames), thr))
         for mask, (path, orig) in zip(masks, metas):
             if full_res and tuple(orig) != tuple(image_size):
                 mask = native.resize_nearest(
@@ -173,6 +177,13 @@ def generate_pseudo_labels(checkpoint_dir: str, images_dir: str,
             kept += counts[:num_classes]
             n_px += mask.size
             out_path = _label_path(out_dir, images_dir, path)
+            if out_path in seen:
+                raise SystemExit(
+                    f"pseudo_label: {path} and {seen[out_path]} map to "
+                    f"the same label file {out_path} (their first 3 "
+                    "'_' tokens collide — Cityscapes ids must be "
+                    "unique per directory)")
+            seen[out_path] = path
             os.makedirs(os.path.dirname(out_path), exist_ok=True)
             from PIL import Image
 
@@ -184,7 +195,6 @@ def generate_pseudo_labels(checkpoint_dir: str, images_dir: str,
         "images": n_images,
         "out_dir": out_dir,
         "coverage": total_kept / max(n_px, 1),
-        "batch_coverage_mean": coverage_sum / max(n_batches, 1),
         "class_share": (kept / max(total_kept, 1)).round(4).tolist(),
         "threshold": np.asarray(threshold, np.float32).round(4).tolist(),
         "ignore_index": ignore_index,

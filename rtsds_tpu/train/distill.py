@@ -123,30 +123,18 @@ def quantize_teacher(teacher_name: str, teacher_variables, calib_batches,
     ``teacher_apply_fn`` for :func:`make_distill_step` and ``qtree``
     replaces ``teacher_variables`` as the step's second argument (still
     a pytree, still passed — never baked into the HLO).
+
+    The mechanism is the generic :func:`rtsds_tpu.ops.quant.
+    quantize_model`; this wrapper exists as the distillation-facing
+    name (and the error message a distillation config deserves).
     """
-    if teacher_name == "deeplab":
-        from rtsds_tpu.models import deeplab_int8 as q
+    from rtsds_tpu.ops.quant import quantize_model
 
-        folded = q.fold_deeplab(teacher_variables)
-        int8_apply = q.deeplab_int8_apply
-    elif teacher_name == "bisenet":
-        from rtsds_tpu.models import bisenet_int8 as q
-
-        folded = q.fold_bisenet(teacher_variables)
-        int8_apply = q.bisenet_int8_apply
-    else:
-        raise ValueError(f"no int8 teacher path for {teacher_name!r} "
-                         "(expected 'bisenet' or 'deeplab')")
-    scales = q.calibrate(teacher_variables, calib_batches, folded=folded)
-    qtree = q.build_quantized(teacher_variables, scales,
-                              *(() if policy is None else (policy,)),
-                              folded=folded)
-
-    def apply_fn(variables, images, train=False):
-        del train  # the quantized walk is eval-mode by construction
-        return int8_apply(variables, images)
-
-    return apply_fn, qtree
+    try:
+        return quantize_model(teacher_name, teacher_variables,
+                              calib_batches, policy=policy)
+    except ValueError as e:
+        raise ValueError(f"no int8 teacher path: {e}") from e
 
 
 def load_teacher_variables(checkpoint_dir: str, use_ema: bool = True):

@@ -97,12 +97,15 @@ def test_int8_sweep_agrees_with_bf16(setup):
     """--quantize int8 runs the sweep through the W8A8 path; masks agree
     with the full-precision sweep on nearly every pixel."""
     ckpt, images, root = setup
+    out_b = os.path.join(root, "out_q8_base")
+    generate_pseudo_labels(ckpt, images, out_b, image_size=HW,
+                           batch_size=2, threshold=0.0)
     out_q = os.path.join(root, "out_q8")
     stats = generate_pseudo_labels(ckpt, images, out_q, image_size=HW,
                                    batch_size=2, threshold=0.0,
                                    quantize="int8", calib_batches=1)
     assert stats["quantize"] == "int8"
-    base = build_cityscapes_index(os.path.join(root, "out_t0"), images)
+    base = build_cityscapes_index(out_b, images)
     quant = build_cityscapes_index(out_q, images)
     agree = np.concatenate([
         (np.asarray(Image.open(a.label))
@@ -174,3 +177,22 @@ def test_rejects_empty_tree_and_bad_quantize(setup, tmp_path):
     with pytest.raises(SystemExit, match="quantize"):
         generate_pseudo_labels(ckpt, images, str(tmp_path / "o"),
                                image_size=HW, quantize="int4")
+
+
+def test_rejects_colliding_sample_ids(setup, tmp_path):
+    """Two images whose first-3-token ids collide would silently share
+    one label file — the tool refuses instead."""
+    import glob
+
+    ckpt, images, _ = setup
+    tree = tmp_path / "collide" / "aachen"
+    tree.mkdir(parents=True)
+    first = sorted(glob.glob(os.path.join(images, "**", "*.png"),
+                             recursive=True))[0]
+    img = np.asarray(Image.open(first))  # any fixture image will do
+    Image.fromarray(img).save(tree / "aachen_000000_000019_left.png")
+    Image.fromarray(img).save(tree / "aachen_000000_000019_right.png")
+    with pytest.raises(SystemExit, match="same label file"):
+        generate_pseudo_labels(ckpt, str(tmp_path / "collide"),
+                               str(tmp_path / "o2"), image_size=HW,
+                               batch_size=2, threshold=0.0)
