@@ -49,6 +49,11 @@ def supervised_step_benchmark(model_name: str = "bisenet",
         raise ValueError("bn_eval is a deeplab knob (model.deeplab."
                          "bn_eval); it does not apply to "
                          f"{model_name!r}")
+    if distill_quant not in (None, "int8"):
+        # a typo'd TRAIN_DISTILL_QUANT must not silently bench the
+        # full-precision teacher under an int8-suffixed metric name
+        raise ValueError(f"distill_quant {distill_quant!r} is not "
+                         "supported (int8)")
 
     def build(name):
         if name == "deeplab":

@@ -55,6 +55,40 @@ def _label_path(out_dir: str, images_dir: str, image_path: str) -> str:
                         f"{sid}_pseudoTrainIds.png")
 
 
+def _plan_label_paths(out_dir: str, images_dir: str,
+                      paths: list[str]) -> dict[str, str]:
+    """image path -> label path for the WHOLE sweep, validated up front.
+
+    Raises (before any inference runs) on (a) two images mapping to the
+    same label file, and (b) image names whose generated label would not
+    pair back with the image under ``build_cityscapes_index``'s id rule
+    (first 3 ``_`` tokens) — either failure mid-sweep would leave a
+    partial or silently-unpairable label tree."""
+    from rtsds_tpu.data.indexing import _cityscapes_id
+
+    planned: dict[str, str] = {}
+    by_label: dict[str, str] = {}
+    for path in paths:
+        out_path = _label_path(out_dir, images_dir, path)
+        if _cityscapes_id(os.path.basename(out_path)) != \
+                _cityscapes_id(os.path.basename(path)):
+            raise SystemExit(
+                f"pseudo_label: {path} is not Cityscapes-named (needs >= 3 "
+                "'_'-separated tokens, city_seq_frame); its generated label "
+                f"{os.path.basename(out_path)} would never pair back with "
+                "the image in build_cityscapes_index — rename the images "
+                "or use a Cityscapes-layout tree")
+        if out_path in by_label:
+            raise SystemExit(
+                f"pseudo_label: {path} and {by_label[out_path]} map to "
+                f"the same label file {out_path} (their first 3 "
+                "'_' tokens collide — Cityscapes ids must be "
+                "unique per directory)")
+        by_label[out_path] = path
+        planned[path] = out_path
+    return planned
+
+
 def generate_pseudo_labels(checkpoint_dir: str, images_dir: str,
                            out_dir: str, model_name: str = "bisenet",
                            backbone: str = "resnet18",
@@ -103,6 +137,10 @@ def generate_pseudo_labels(checkpoint_dir: str, images_dir: str,
     apply_fn = model.apply
 
     paths = _image_paths(images_dir)
+    # Fail fast, BEFORE any inference: collisions and un-pairable names
+    # are fully determined by the file paths alone, and aborting
+    # mid-sweep would leave a partial label tree behind.
+    label_paths = _plan_label_paths(out_dir, images_dir, paths)
 
     def batches():
         """(frames uint8 (B,H,W,3), originals [(path, (h, w))]) — the
@@ -165,7 +203,6 @@ def generate_pseudo_labels(checkpoint_dir: str, images_dir: str,
     n_px = 0
     kept = np.zeros((num_classes,), np.int64)
     n_images = 0
-    seen: dict[str, str] = {}
     for frames, metas in batches():
         masks = jax.device_get(infer(variables, jnp.asarray(frames), thr))
         for mask, (path, orig) in zip(masks, metas):
@@ -176,14 +213,7 @@ def generate_pseudo_labels(checkpoint_dir: str, images_dir: str,
                                  minlength=num_classes + 1)
             kept += counts[:num_classes]
             n_px += mask.size
-            out_path = _label_path(out_dir, images_dir, path)
-            if out_path in seen:
-                raise SystemExit(
-                    f"pseudo_label: {path} and {seen[out_path]} map to "
-                    f"the same label file {out_path} (their first 3 "
-                    "'_' tokens collide — Cityscapes ids must be "
-                    "unique per directory)")
-            seen[out_path] = path
+            out_path = label_paths[path]
             os.makedirs(os.path.dirname(out_path), exist_ok=True)
             from PIL import Image
 

@@ -130,11 +130,14 @@ def quantize_teacher(teacher_name: str, teacher_variables, calib_batches,
     """
     from rtsds_tpu.ops.quant import quantize_model
 
-    try:
-        return quantize_model(teacher_name, teacher_variables,
-                              calib_batches, policy=policy)
-    except ValueError as e:
-        raise ValueError(f"no int8 teacher path: {e}") from e
+    # Pre-check the dispatch so ONLY the unsupported-model case gets the
+    # distillation-facing message; a ValueError raised later (calibration,
+    # qtree construction) propagates unrelabeled.
+    if teacher_name not in ("bisenet", "deeplab"):
+        raise ValueError(f"no int8 teacher path for model {teacher_name!r} "
+                         "(expected 'bisenet' or 'deeplab')")
+    return quantize_model(teacher_name, teacher_variables,
+                          calib_batches, policy=policy)
 
 
 def load_teacher_variables(checkpoint_dir: str, use_ema: bool = True):

@@ -72,6 +72,13 @@ def test_supervised_step_benchmark_structure():
 
     with pytest.raises(ValueError, match="unknown model"):
         supervised_step_benchmark("nope")
+    # a typo'd TRAIN_DISTILL_QUANT must raise, not silently bench the
+    # full-precision teacher under an int8-suffixed metric name
+    with pytest.raises(ValueError, match="distill_quant"):
+        supervised_step_benchmark("bisenet", batch_size=1,
+                                  image_size=(32, 64), steps=1, repeats=1,
+                                  dtype=None, distill_teacher="bisenet",
+                                  distill_quant="int4")
 
 
 @pytest.mark.slow

@@ -196,3 +196,24 @@ def test_rejects_colliding_sample_ids(setup, tmp_path):
         generate_pseudo_labels(ckpt, str(tmp_path / "collide"),
                                str(tmp_path / "o2"), image_size=HW,
                                batch_size=2, threshold=0.0)
+    # fail-FAST: the collision is detected from paths alone, before any
+    # inference — no partial label tree may exist
+    assert not (tmp_path / "o2").exists()
+
+
+def test_rejects_unpairable_image_names(setup, tmp_path):
+    """An image with <3 '_' tokens would get a label whose Cityscapes id
+    ('foo_pseudoTrainIds') never pairs back with the image ('foo') —
+    build_cityscapes_index would silently train on nothing."""
+    import glob
+
+    ckpt, images, _ = setup
+    tree = tmp_path / "flat"
+    tree.mkdir()
+    first = sorted(glob.glob(os.path.join(images, "**", "*.png"),
+                             recursive=True))[0]
+    Image.fromarray(np.asarray(Image.open(first))).save(tree / "foo.png")
+    with pytest.raises(SystemExit, match="not Cityscapes-named"):
+        generate_pseudo_labels(ckpt, str(tree), str(tmp_path / "o3"),
+                               image_size=HW, threshold=0.0)
+    assert not (tmp_path / "o3").exists()
