@@ -48,7 +48,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from rtsds_tpu.bench.latency import latency_benchmark
+from rtsds_tpu.bench.latency import latency_benchmark, program_flops
 
 # (name, count, H, W, Cin, Cout, k, dilation) -- DeepLabV2-R101 @512x1024,
 # output stride 8 (deeplabv2.py: layer3 dilation 2, layer4 dilation 4,
@@ -219,6 +219,11 @@ def bench_e2e(batch=8, image_size=(512, 1024), iterations=8, repeats=2,
         "batch": batch,
         "bf16_ms": round(bf["mean_ms"], 3),
         "bf16_fps": round(bf["fps"], 2),
+        # math-op count of the serving forward (HLO cost analysis on the
+        # bf16 graph; the int8 network performs the same convolutions, so
+        # the same count divided by int8 wall time against the int8 peak
+        # is the honest int8 MFU)
+        "flops_per_call": program_flops(fwd_bf16, variables, x),
     }
     for pname, policy in policies.items():
         qtree = build_quantized(variables, scales, policy=policy)
@@ -313,6 +318,8 @@ def bench_e2e_bisenet(batch=48, image_size=(1024, 2048), iterations=8,
         "batch": batch,
         "bf16_ms": round(bf["mean_ms"], 3),
         "bf16_fps": round(bf["fps"], 2),
+        # see bench_e2e: bf16-graph math-op count, reused for int8 MFU
+        "flops_per_call": program_flops(fwd_bf16, variables, x),
     }
     if include_folded:
         # the BN-folded walk in pure bf16 (zero quantized convs):

@@ -82,10 +82,18 @@ def datasets_loader(config, is_augmented: bool, synthetic: bool = False,
     gta5_size = tuple(parse_int_list(gta5["image_size"]))
 
     if synthetic:
-        cs_train_ds = SyntheticSegDataset(16, cs_size, cs["num_classes"], seed)
-        cs_val_ds = SyntheticSegDataset(8, cs_size, cs["num_classes"], seed + 1)
+        # data.synthetic.fixed_tints (ours): one class->color mapping
+        # shared by train and val, so short --synthetic runs reach high
+        # mIoU — what trained-model accuracy-delta gates need.  Default
+        # false keeps the historical per-image mappings.
+        fx = bool(config.data.get("synthetic", {}).get("fixed_tints",
+                                                       False))
+        cs_train_ds = SyntheticSegDataset(16, cs_size, cs["num_classes"],
+                                          seed, fixed_tints=fx)
+        cs_val_ds = SyntheticSegDataset(8, cs_size, cs["num_classes"],
+                                        seed + 1, fixed_tints=fx)
         gta5_ds = SyntheticSegDataset(16, gta5_size, gta5["num_classes"],
-                                      seed + 2)
+                                      seed + 2, fixed_tints=fx)
     else:
         cs_train_ds = SegmentationDataset(
             build_cityscapes_index(cs["segmentation_train_dir"],

@@ -158,6 +158,11 @@ _DEFAULTS: dict = {
         # /255-first preprocessing.  Serving must match training: pass the
         # same flag to serve.Predictor(correct_preprocessing=...).
         "correct_preprocessing": False,
+        # ours: --synthetic data knobs.  fixed_tints shares ONE
+        # class->color mapping across train/val so short synthetic runs
+        # are genuinely learnable (used by trained-model accuracy gates);
+        # default False keeps per-image mappings.
+        "synthetic": {"fixed_tints": False},
     },
     "meta": {
         "class_names": [

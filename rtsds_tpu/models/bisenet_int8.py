@@ -184,15 +184,18 @@ def _forward(op, x, blocks, bottleneck):
     return upsample_bilinear(out, 8)
 
 
-def calibrate(variables, batches, folded=None) -> dict:
+def calibrate(variables, batches, folded=None, stat: str = "max",
+              percentile: float = 99.9) -> dict:
     """Static activation scales over calibration batches (see
-    ``ops/quant.py:calibrate_net``).  ``folded``: pass a precomputed
+    ``ops/quant.py:calibrate_net``, incl. the ``stat``/``percentile``
+    statistic choice).  ``folded``: pass a precomputed
     :func:`fold_bisenet` tree to avoid refolding."""
     if folded is None:
         folded = fold_bisenet(variables)
     blocks, bottleneck = _structure(folded)
     return calibrate_net(
-        lambda op, x: _forward(op, x, blocks, bottleneck), folded, batches)
+        lambda op, x: _forward(op, x, blocks, bottleneck), folded, batches,
+        stat=stat, percentile=percentile)
 
 
 def default_policy(name: str, kernel_shape) -> bool:

@@ -117,23 +117,27 @@ def _forward(op, x, block_counts):
     return resize_bilinear(logits, in_size)
 
 
-def calibrate(variables, batches, folded=None) -> dict:
+def calibrate(variables, batches, folded=None, stat: str = "max",
+              percentile: float = 99.9) -> dict:
     """Static per-conv-input activation scales from calibration batches.
 
     ``batches``: iterable of (N, H, W, 3) image arrays (AFTER the
     production preprocess).  Returns {conv_name: float scale} with
-    ``scale = max_abs / 127`` observed across all batches.  One jitted
-    bf16 forward per batch shape; convs sharing an input (bottleneck
-    conv1 + downsample, the ASPP branches) naturally record identical
-    maxes.  ``folded``: pass a precomputed :func:`fold_deeplab` tree to
-    avoid refolding (the fold is ~300 eager dispatches -- seconds on
-    tunneled backends).
+    ``scale = bound / 127`` where the bound is max-abs or an approximate
+    percentile of |x| per ``stat``/``percentile`` (see
+    ``ops/quant.py:calibrate_net``), observed across all batches.  One
+    jitted bf16 forward per batch shape; convs sharing an input
+    (bottleneck conv1 + downsample, the ASPP branches) naturally record
+    identical bounds.  ``folded``: pass a precomputed
+    :func:`fold_deeplab` tree to avoid refolding (the fold is ~300 eager
+    dispatches -- seconds on tunneled backends).
     """
     if folded is None:
         folded = fold_deeplab(variables)
     block_counts = _block_counts(variables["params"])
     return calibrate_net(
-        lambda op, x: _forward(op, x, block_counts), folded, batches)
+        lambda op, x: _forward(op, x, block_counts), folded, batches,
+        stat=stat, percentile=percentile)
 
 
 def default_policy(name: str, kernel_shape) -> bool:

@@ -104,33 +104,66 @@ def conv_bf16(x, kernel, bias, stride=1, padding=0, dilation=1,
 # ---------------------------------------------------------------------------
 
 
-def calibrate_net(forward, folded, batches) -> dict:
+def calibrate_net(forward, folded, batches, stat: str = "max",
+                  percentile: float = 99.9) -> dict:
     """Static per-conv-input activation scales from calibration batches.
 
     ``forward(op, x)`` is the model's topology walk; ``batches`` an
     iterable of (N, H, W, C) arrays AFTER the production preprocess.
-    Returns {conv_name: float scale} with ``scale = max_abs / 127``
-    observed across all batches.  One jitted bf16 forward per batch
-    shape; convs sharing an input naturally record identical maxes.
+    Returns {conv_name: float scale} with ``scale = bound / 127`` where
+    the per-batch bound is either the max-abs (``stat="max"``) or an
+    approximate ``percentile`` of |x| (``stat="percentile"`` — the
+    outlier-robust variant: one hot pixel cannot collapse the whole
+    tensor's resolution; values above the bound saturate at +-127).
+    Bounds aggregate across batches by max.  One jitted bf16 forward per
+    batch shape; convs sharing an input naturally record identical
+    bounds.
+
+    The percentile is histogram-approximated (4096 uniform bins over
+    [0, max|x|], upper-edge rounding — conservative), NOT a sort:
+    calibration tensors at serving resolution reach 10^8-10^9 elements,
+    where ``jnp.quantile``'s sort is memory- and time-prohibitive while
+    a bincount scatter-add is one streaming pass.  Bin granularity is
+    max/4096 ~ 0.025% of range, far below any mIoU-visible effect.
     """
+    if stat not in ("max", "percentile"):
+        raise ValueError(f"calibration stat {stat!r} is not supported "
+                         "('max' or 'percentile')")
+    if stat == "percentile" and not 0.0 < percentile <= 100.0:
+        raise ValueError(f"calibration percentile must be in (0, 100], "
+                         f"got {percentile}")
+    nbins = 4096
+
+    def bound(x):
+        absx = jnp.abs(x).astype(jnp.float32)
+        amax = jnp.max(absx)
+        if stat == "max":
+            return amax
+        amax = jnp.maximum(amax, 1e-12)
+        idx = jnp.minimum((absx * (nbins / amax)).astype(jnp.int32),
+                          nbins - 1)
+        hist = jnp.zeros((nbins,), jnp.int32).at[idx.reshape(-1)].add(1)
+        target = jnp.ceil(percentile / 100.0 * absx.size).astype(jnp.int32)
+        k = jnp.argmax(jnp.cumsum(hist) >= target)
+        return (k + 1).astype(jnp.float32) * (amax / nbins)
 
     @jax.jit
     def observe(folded, x):
-        maxes = {}
+        bounds = {}
 
         def op(name, x, stride, padding, dilation):
             kernel, bias = folded[name]
-            maxes[name] = jnp.max(jnp.abs(x)).astype(jnp.float32)
+            bounds[name] = bound(x)
             return conv_bf16(x, kernel, bias, stride, padding, dilation)
 
         forward(op, x.astype(jnp.bfloat16))
-        return maxes
+        return bounds
 
     totals: dict = {}
     n = 0
     for batch in batches:
-        maxes = jax.device_get(observe(folded, jnp.asarray(batch)))
-        for k, v in maxes.items():
+        bounds = jax.device_get(observe(folded, jnp.asarray(batch)))
+        for k, v in bounds.items():
             totals[k] = max(totals.get(k, 0.0), float(v))
         n += 1
     if n == 0:
@@ -174,17 +207,20 @@ def make_quant_op(qtree):
     return op
 
 
-def quantize_model(model_name: str, variables, calib_batches, policy=None):
+def quantize_model(model_name: str, variables, calib_batches, policy=None,
+                   calib_stat: str = "max", calib_percentile: float = 99.9):
     """One-call W8A8 PTQ over a whole model: dispatch to the per-model
     fold/calibrate/build pipeline and wrap the quantized walk in an
     eval-mode apply.
 
     ``calib_batches``: iterable of image batches AFTER the production
-    preprocess.  Returns ``(apply_fn, qtree)`` where
-    ``apply_fn(qtree, images, train=False)`` is signature-compatible
-    with a flax ``model.apply`` in eval mode — a drop-in for any pure
-    inference consumer (the KD teacher, the pseudo-label sweep, the
-    Predictor builds its own for serving-specific policy plumbing).
+    preprocess.  ``calib_stat``/``calib_percentile`` select the
+    activation-scale statistic (see :func:`calibrate_net`).  Returns
+    ``(apply_fn, qtree)`` where ``apply_fn(qtree, images, train=False)``
+    is signature-compatible with a flax ``model.apply`` in eval mode — a
+    drop-in for any pure inference consumer (the KD teacher, the
+    pseudo-label sweep, the Predictor builds its own for
+    serving-specific policy plumbing).
     """
     if model_name == "deeplab":
         from rtsds_tpu.models import deeplab_int8 as q
@@ -199,7 +235,8 @@ def quantize_model(model_name: str, variables, calib_batches, policy=None):
     else:
         raise ValueError(f"no int8 path for model {model_name!r} "
                          "(expected 'bisenet' or 'deeplab')")
-    scales = q.calibrate(variables, calib_batches, folded=folded)
+    scales = q.calibrate(variables, calib_batches, folded=folded,
+                         stat=calib_stat, percentile=calib_percentile)
     qtree = q.build_quantized(variables, scales,
                               *(() if policy is None else (policy,)),
                               folded=folded)

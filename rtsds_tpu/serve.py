@@ -155,6 +155,11 @@ class Predictor:
         to calibrate the static activation scales (a handful of
         representative frames; they go through the production
         preprocess).  Required with ``quantize``.
+      calib_stat: activation-scale statistic, ``"max"`` (max-abs) or
+        ``"percentile"`` (outlier-robust; see
+        ``ops/quant.py:calibrate_net`` and the measured ablation in
+        PERF.md).
+      calib_percentile: the percentile for ``calib_stat="percentile"``.
     """
 
     def __init__(self, model_name: str = "bisenet", variables: dict | None = None,
@@ -166,7 +171,8 @@ class Predictor:
                  protocol: str = "plain",
                  protocol_kwargs: dict | None = None,
                  quantize: str | None = None,
-                 calib_frames=None):
+                 calib_frames=None, calib_stat: str = "max",
+                 calib_percentile: float = 99.9):
         if model_name == "bisenet":
             self.model = BiSeNet(num_classes=num_classes,
                                  context_path=backbone, dtype=dtype,
@@ -218,8 +224,9 @@ class Predictor:
                 calib = calib[None]
             # chunk the calibration forwards to the serving batch size
             # (ONE compiled shape; the tail wraps around -- repeated
-            # frames cannot change a max) so a many-image calibration
-            # set never compiles or runs a giant one-off batch
+            # frames cannot change a max and only marginally reweight a
+            # per-batch percentile) so a many-image calibration set
+            # never compiles or runs a giant one-off batch
             if calib.shape[0] > batch_size:
                 pad = (-calib.shape[0]) % batch_size
                 if pad:
@@ -232,7 +239,9 @@ class Predictor:
                 normalize(jnp.asarray(c, jnp.float32),
                           correct_preprocessing) for c in chunks)
             folded = fold(variables)
-            scales = calibrate(variables, calib_batches, folded=folded)
+            scales = calibrate(variables, calib_batches, folded=folded,
+                               stat=calib_stat,
+                               percentile=calib_percentile)
             variables = build_quantized(variables, scales, folded=folded)
 
             def apply_fn(qtree, x, train=False):
@@ -433,6 +442,13 @@ def main(argv=None):
                         help="serve through the W8A8 post-training "
                              "quantized path (activation scales are "
                              "calibrated on the given input images)")
+    parser.add_argument("--calib_stat", type=str, default="max",
+                        choices=["max", "percentile"],
+                        help="activation-scale statistic for --quantize: "
+                             "max-abs or an outlier-robust percentile "
+                             "(measured ablation in PERF.md)")
+    parser.add_argument("--calib_percentile", type=float, default=99.9,
+                        help="percentile for --calib_stat percentile")
     args = parser.parse_args(argv)
 
     if args.compilation_cache:
@@ -486,6 +502,8 @@ def main(argv=None):
         if args.quantize:
             kwargs["quantize"] = args.quantize
             kwargs["calib_frames"] = frames
+            kwargs["calib_stat"] = args.calib_stat
+            kwargs["calib_percentile"] = args.calib_percentile
         if args.mesh:
             from rtsds_tpu.parallel.mesh import make_mesh
 

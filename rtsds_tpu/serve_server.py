@@ -375,6 +375,12 @@ def main(argv=None):
                         metavar="PNG",
                         help="representative frames to calibrate the int8 "
                              "activation scales (resized to --size)")
+    parser.add_argument("--calib_stat", default="max",
+                        choices=["max", "percentile"],
+                        help="activation-scale statistic: max-abs or an "
+                             "outlier-robust percentile (PERF.md ablation)")
+    parser.add_argument("--calib_percentile", type=float, default=99.9,
+                        help="percentile for --calib_stat percentile")
     args = parser.parse_args(argv)
 
     if args.quantize:
@@ -416,6 +422,8 @@ def main(argv=None):
             kwargs["quantize"] = args.quantize
             kwargs["calib_frames"] = np.stack(
                 [decode_image(p, size) for p in args.calib_images])
+            kwargs["calib_stat"] = args.calib_stat
+            kwargs["calib_percentile"] = args.calib_percentile
         if args.mesh:
             from rtsds_tpu.parallel.mesh import make_mesh
 

@@ -191,6 +191,77 @@ def test_classmix_gate():
 
 
 @pytest.mark.slow
+def test_adversarial_v2_gate():
+    """The v2 variant (reference ``train.py:322-500``: schedule-weighted
+    adversarial loss, target=real convention) improves target mIoU over
+    source-only training on every seed — the adaptation gate v2 lacked
+    (it previously had trajectory-parity and mechanics tests only).
+    Observed margins recorded after the first run."""
+    data = _domain_data([4.0, 3.0, 5.0])
+    src_only = _adv_step(0.0)
+    # lambda_=0.01 -> the v2 schedule max(l, 10l - 0.001*epoch) ramps
+    # 0.1 -> 0.01 over the first 90 steps (iterations=1: step==epoch)
+    v2 = make_adversarial_step(lambda_=0.01, iterations=1, epochs=1,
+                               ignore_index=19, variant="v2", donate=False)
+    for seed in (0, 1, 2):
+        g0, _ = _run_adv(src_only, data, 300, seed)
+        g1, _ = _run_adv(v2, data, 300, seed)
+        base, adapted = _target_miou(g0, data[2]), _target_miou(g1, data[2])
+        assert adapted > base + 0.10, (seed, base, adapted)
+
+
+@pytest.mark.slow
+def test_grl_gate():
+    """DANN-style gradient-reversal training (``discriminator.grl``,
+    the reference's dead ``GradientReversalFunction`` wired for real)
+    adapts: one fused backward with the reversed domain gradient
+    improves target mIoU over source-only on every seed."""
+    data = _domain_data([4.0, 3.0, 5.0])
+    src_only = _adv_step(0.0)
+    grl = make_adversarial_step(lambda_=0.1, iterations=1, epochs=1,
+                                ignore_index=19, variant="v1",
+                                donate=False, grl_alpha=1.0)
+    for seed in (0, 1, 2):
+        g0, _ = _run_adv(src_only, data, 300, seed)
+        g1, _ = _run_adv(grl, data, 300, seed)
+        base, adapted = _target_miou(g0, data[2]), _target_miou(g1, data[2])
+        assert adapted > base + 0.10, (seed, base, adapted)
+
+
+@pytest.mark.slow
+def test_composed_recipe_gate():
+    """The DA_GUIDE staged recipe's composition claim, on one shift,
+    seeds averaged: stage-2 (self-training warm-started from the
+    stage-1 adversarial checkpoint) beats the stage-1 endpoint, and
+    stage-2+ClassMix (the guide's full stage-2 yaml) beats plain
+    stage-2.  The per-technique gates prove each ingredient in its own
+    regime; THIS gate proves the curriculum a user actually follows is
+    monotone."""
+    data = _domain_data([7.0, 5.0, 8.0])
+    adv = _adv_step(0.1)
+    (src_i, src_l), (tgt_i, _), ev = data
+    m1s, m2s, m3s = [], [], []
+    for seed in range(8):
+        warm = _run_adv(adv, data, 100, seed)
+        m1s.append(_target_miou(warm[0], ev))
+        for cmix, out in ((False, m2s), (True, m3s)):
+            step = make_self_training_step(
+                lambda_=0.1, iterations=1, ignore_index=19, threshold=0.0,
+                lambda_pl=1.0, ema_decay=0.95, donate=False,
+                classmix=cmix, classmix_seed=seed)
+            g, d = warm
+            ema = ema_init(g.params)
+            for _ in range(200):
+                g, d, ema, _ = step(g, d, ema, src_i, src_l, tgt_i)
+            out.append(_target_miou(g, ev))
+    m1, m2, m3 = np.mean(m1s), np.mean(m2s), np.mean(m3s)
+    print(f"\ncomposed recipe: stage1 {m1:.3f} stage2 {m2:.3f} "
+          f"stage2+classmix {m3:.3f}")
+    assert m2 > m1 + 0.02, (m1s, m2s)
+    assert m3 > m2 + 0.02, (m2s, m3s)
+
+
+@pytest.mark.slow
 def test_minent_gate():
     """MinEnt's mechanism is entropy regularization (Grandvalet & Bengio
     '05): unlabeled data pushes the decision boundary into low-density
