@@ -100,6 +100,8 @@ def generate_pseudo_labels(checkpoint_dir: str, images_dir: str,
                            ignore_index: int = 19,
                            correct_preprocessing: bool = False,
                            quantize: str | None = None,
+                           calib_stat: str = "max",
+                           calib_percentile: float = 99.9,
                            full_res: bool = True) -> dict:
     """Sweep the checkpoint over ``images_dir`` and write pseudo-label
     PNGs under ``out_dir`` (mirroring the image sub-tree).  Returns a
@@ -177,7 +179,8 @@ def generate_pseudo_labels(checkpoint_dir: str, images_dir: str,
         apply_fn, variables = quantize_model(
             model_name, variables,
             (normalize(jnp.asarray(f, jnp.float32), correct_preprocessing)
-             for f in calib_data))
+             for f in calib_data),
+            calib_stat=calib_stat, calib_percentile=calib_percentile)
 
     if calibrate:
         # CBST per-class bars from the checkpoint's own confidence
@@ -273,6 +276,11 @@ def main(argv=None):
     ap.add_argument("--correct_preprocessing", action="store_true")
     ap.add_argument("--quantize", default=None, choices=["int8"],
                     help="sweep through the W8A8 serving path")
+    ap.add_argument("--calib_stat", default="max",
+                    choices=["max", "percentile"],
+                    help="int8 activation-scale statistic (PERF.md "
+                         "ablation)")
+    ap.add_argument("--calib_percentile", type=float, default=99.9)
     ap.add_argument("--model_res", action="store_true",
                     help="write labels at the inference resolution "
                          "instead of each image's original size")
@@ -287,7 +295,9 @@ def main(argv=None):
         calib_batches=args.calib_batches, use_ema=not args.no_ema,
         ignore_index=args.ignore_index,
         correct_preprocessing=args.correct_preprocessing,
-        quantize=args.quantize, full_res=not args.model_res)
+        quantize=args.quantize, calib_stat=args.calib_stat,
+        calib_percentile=args.calib_percentile,
+        full_res=not args.model_res)
     print(json.dumps(stats))
 
 

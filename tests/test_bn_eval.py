@@ -8,6 +8,7 @@ reductions (TPU cost in PERF.md)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rtsds_tpu.models.deeplabv2 import DeepLabV2
 
@@ -60,3 +61,72 @@ def test_bn_eval_config_reaches_factory():
     bundle = build_supervised(default_config(), "deeplab",
                               steps_per_epoch=10)
     assert bundle.model.bn_eval is False
+
+
+@pytest.mark.slow
+def test_bn_eval_learning_gate():
+    """The knob's measured accuracy cost (VERDICT r4 weak #4): at
+    fixture scale (tiny DeepLab, learnable synthetic data, 200 Adam
+    steps) frozen-BN training UNDERPERFORMS batch-stats training from
+    BOTH a random init and a warmed-stats init.  Observed val mIoU
+    (seeds 0/1): batch-stats 0.650/0.665, bn_eval random-init
+    0.577/0.557, bn_eval warmed-stats 0.587/0.599.  This reproduces the
+    known frozen-BN-from-random-init trap -- the reference's frozen BN
+    rides on real pretrained stats (deeplabv2.py:15-27) -- so the 12%
+    training speedup carries a documented caveat (PERF.md, config.yaml):
+    enable bn_eval only when fine-tuning from converted pretrained
+    weights, and validate."""
+    from rtsds_tpu.data.synthetic import SyntheticSegDataset
+    from rtsds_tpu.ops.preprocess import normalize
+    from rtsds_tpu.train.optim import make_optimizer
+    from rtsds_tpu.train.state import create_train_state
+    from rtsds_tpu.train.supervised import make_train_step
+    from rtsds_tpu.utils.metrics import fast_hist, per_class_iou
+
+    HW, NC = (64, 128), 5
+    train_ds = SyntheticSegDataset(16, HW, NC, seed=42, fixed_tints=True)
+    val_ds = SyntheticSegDataset(8, HW, NC, seed=43, fixed_tints=True)
+    tr_i = np.stack([train_ds[j][0] for j in range(16)])
+    tr_l = np.stack([train_ds[j][1] for j in range(16)])
+    ev_i = np.stack([val_ds[j][0] for j in range(8)])
+    ev_l = np.stack([val_ds[j][1] for j in range(8)])
+    xtr = normalize(jnp.asarray(tr_i, jnp.float32), True)
+    xev = normalize(jnp.asarray(ev_i, jnp.float32), True)
+    ltr = jnp.asarray(tr_l)
+
+    def miou(model, state):
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            xev, train=False)
+        pred = np.asarray(jnp.argmax(logits, -1))
+        hist = np.asarray(fast_hist(ev_l, pred, NC))
+        return float(np.nanmean(np.asarray(per_class_iou(hist))))
+
+    def train(bn_eval, warm_stats=None, seed=0, steps=200):
+        model = DeepLabV2(num_classes=NC, layers=LAYERS, bn_eval=bn_eval)
+        state = create_train_state(model, jax.random.key(seed),
+                                   jnp.zeros((4, *HW, 3)),
+                                   make_optimizer("Adam", 0.005))
+        if warm_stats is not None:
+            state = state.replace(batch_stats=warm_stats)
+        step = make_train_step(ignore_index=19, donate=False)
+        for i in range(steps):
+            b = (i * 4) % 16
+            state, _ = step(state, xtr[b:b + 4], ltr[b:b + 4])
+        return model, state
+
+    warm_deltas = []
+    for seed in (0, 1):
+        m_bs, s_bs = train(False, seed=seed)
+        miou_bs = miou(m_bs, s_bs)
+        m_fr, s_fr = train(True, seed=seed)
+        miou_fr = miou(m_fr, s_fr)
+        # "pretrained-like" stats: the batch-stats arm's final running
+        # averages, frozen for a fresh bn_eval run
+        m_wm, s_wm = train(True, warm_stats=s_bs.batch_stats, seed=seed)
+        miou_wm = miou(m_wm, s_wm)
+        # the trap is reproducible: batch-stats beats frozen-from-random
+        assert miou_bs > miou_fr + 0.03, (seed, miou_bs, miou_fr)
+        warm_deltas.append(miou_bs - miou_wm)
+    # and even warmed stats do not close the gap at fixture scale
+    assert np.mean(warm_deltas) > 0.02, warm_deltas
