@@ -16,7 +16,8 @@ resnet18|resnet101 for the bisenet context path; TRAIN_DISTILL=
 bisenet|deeplab benches the fused KD step with that frozen teacher —
 random teacher weights, cost is shape- not value-dependent;
 TRAIN_BN_EVAL=1 benches DeepLab with fully-frozen BN,
-``model.deeplab.bn_eval``).
+``model.deeplab.bn_eval``; TRAIN_QAT=1 benches the QAT fake-quant
+fine-tune step, ``train/qat.py`` -- f32 by design).
 """
 
 from __future__ import annotations
@@ -39,7 +40,8 @@ def supervised_step_benchmark(model_name: str = "bisenet",
                               distill_teacher: str | None = None,
                               distill_quant: str | None = None,
                               grad_clip: float = 0.0,
-                              bn_eval: bool = False) -> dict:
+                              bn_eval: bool = False,
+                              qat: bool = False) -> dict:
     from rtsds_tpu.train.optim import make_optimizer
     from rtsds_tpu.train.state import create_train_state
     from rtsds_tpu.train.supervised import make_train_step
@@ -75,6 +77,21 @@ def supervised_step_benchmark(model_name: str = "bisenet",
     tx = make_optimizer("Adam", poly_lr_schedule(1e-4, 5000, 0.9),
                         grad_clip=grad_clip)
     state = create_train_state(model, key, jnp.zeros_like(x), tx)
+
+    if qat:
+        # the QAT fine-tune step (train/qat.py): fake-quant STE forward
+        # over the BN-folded tree, f32 compute by design (fine-tune
+        # fidelity, not serving speed) -- this measures what a
+        # `python -m rtsds_tpu.qat` step costs on-chip
+        if distill_teacher or bn_eval:
+            raise ValueError("qat composes with neither distill nor "
+                             "bn_eval (BN is frozen-folded already)")
+        from rtsds_tpu.train.qat import create_qat_state, prepare_qat
+
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        state = create_qat_state(prepare_qat(model_name, variables, [x]),
+                                 tx)
 
     if distill_teacher:
         from rtsds_tpu.train.distill import make_distill_step
@@ -127,8 +144,10 @@ def supervised_step_benchmark(model_name: str = "bisenet",
         "ms_per_sample": best * 1000.0 / batch_size,
         "batch_size": batch_size,
         "image_size": list(image_size),
-        "dtype": str(getattr(dtype, "__name__", dtype)),
+        "dtype": ("float32" if qat
+                  else str(getattr(dtype, "__name__", dtype))),
         **({"bn_eval": True} if bn_eval else {}),
+        **({"qat": True} if qat else {}),
     }
 
 
@@ -143,15 +162,17 @@ def main():
     distill_quant = os.environ.get("TRAIN_DISTILL_QUANT") or None
     grad_clip = float(os.environ.get("TRAIN_GRAD_CLIP", "0"))
     bn_eval = os.environ.get("TRAIN_BN_EVAL", "0") == "1"
+    qat = os.environ.get("TRAIN_QAT", "0") == "1"
     stats = supervised_step_benchmark(model, batch_size=batch,
                                       image_size=size, steps=steps,
                                       backbone=backbone,
                                       distill_teacher=distill,
                                       distill_quant=distill_quant,
                                       grad_clip=grad_clip,
-                                      bn_eval=bn_eval)
+                                      bn_eval=bn_eval, qat=qat)
     suffix = f"_{distill_quant}" if distill and distill_quant else ""
     name = (f"{model}_distill_from_{distill}{suffix}_train_step" if distill
+            else f"{model}_qat_train_step" if qat
             else f"{model}_supervised_train_step")
     print(json.dumps({"metric": name,
                       "value": round(stats["ms_per_step"], 2),

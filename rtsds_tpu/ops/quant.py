@@ -248,6 +248,63 @@ def quantize_model(model_name: str, variables, calib_batches, policy=None,
     return apply_fn, qtree
 
 
+# ---------------------------------------------------------------------------
+# QAT (quantization-aware fine-tuning) primitives: the same W8A8 grid as
+# the serving path, made differentiable with straight-through estimators.
+# ``train/qat.py`` drives these over the int8 modules' topology walks; the
+# fine-tuned folded weights re-export onto the REAL int8 serving path with
+# the identical quantization (``quantize_kernel`` recomputes the same
+# per-channel max scales the fake-quant forward used).
+# ---------------------------------------------------------------------------
+
+
+def fake_quant_kernel(kernel):
+    """Differentiable W8 view of a conv kernel.
+
+    Values equal ``dequantize(quantize_kernel(kernel))`` exactly (same
+    per-output-channel max-abs grid -- nothing saturates, so no clip);
+    gradients pass straight through (STE), which is exact here because
+    the scale tracks the live per-channel max."""
+    amax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    dq = jnp.round(kernel / scale) * scale
+    return kernel + jax.lax.stop_gradient(dq - kernel)
+
+
+def fake_quant_act(x, scale):
+    """Differentiable A8 view of an activation with a STATIC scale.
+
+    Values equal the serving path's ``quantize_act`` grid (round +
+    saturate at +-127) dequantized; gradients are the clipped STE --
+    identity inside the representable range, zero where the value
+    saturates (the standard QAT estimator: saturated pixels cannot be
+    fixed by nudging, only by the weights upstream shrinking them)."""
+    xf = x.astype(jnp.float32)
+    bound = scale * 127.0
+    dq = jnp.clip(jnp.round(xf / scale), -127, 127) * scale
+    ste = xf + jax.lax.stop_gradient(dq - xf)
+    return jnp.where(jnp.abs(xf) <= bound, ste, jax.lax.stop_gradient(dq))
+
+
+def make_fake_quant_op(folded, act_scales: dict, quant_names):
+    """The QAT conv dispatcher: same signature as :func:`make_quant_op`'s
+    op, but differentiable w.r.t. the ``folded`` tree -- quantized convs
+    see the W8A8 grid through STEs, bf16-policy convs run straight
+    through.  Compute dtype is f32 (training fidelity; QAT runs at
+    fine-tune scale where speed is not the claim)."""
+
+    def op(name, x, stride, padding, dilation):
+        kernel, bias = folded[name]
+        kernel = kernel.astype(jnp.float32)
+        if name in quant_names:
+            x = fake_quant_act(x, act_scales[name])
+            kernel = fake_quant_kernel(kernel)
+        return conv_bf16(x, kernel, bias, stride, padding, dilation,
+                         out_dtype=jnp.float32)
+
+    return op
+
+
 def make_bf16_op(folded, out_dtype=jnp.bfloat16):
     """BN-folded unquantized dispatcher -- the apples-to-apples baseline
     (and, at ``out_dtype=float32``, the fold-exactness test surface)."""

@@ -150,7 +150,8 @@ class Predictor:
         ``models/bisenet_int8.py``: BN folded, int8 convs on the MXU's
         2x-rate path, measured per-model policies -- DeepLab +13% at b8
         and +41% at its b32 batch plateau; BiSeNet +15% at b48
-        @1024x2048, PERF.md).  Requires ``calib_frames``.
+        @1024x2048, PERF.md).  Requires ``calib_frames`` or
+        ``act_scales``.
       calib_frames: (N, H, W, 3) uint8 frames used once at construction
         to calibrate the static activation scales (a handful of
         representative frames; they go through the production
@@ -160,6 +161,11 @@ class Predictor:
         ``ops/quant.py:calibrate_net`` and the measured ablation in
         PERF.md).
       calib_percentile: the percentile for ``calib_stat="percentile"``.
+      act_scales: precomputed ``{conv_name: scale}`` activation scales
+        (e.g. a QAT run's ``qat_act_scales.json`` — auto-loaded by
+        :meth:`from_checkpoint`).  Skips calibration entirely:
+        ``calib_frames`` is then not required, and the served grid is
+        exactly the one the weights were tuned for.
     """
 
     def __init__(self, model_name: str = "bisenet", variables: dict | None = None,
@@ -172,7 +178,8 @@ class Predictor:
                  protocol_kwargs: dict | None = None,
                  quantize: str | None = None,
                  calib_frames=None, calib_stat: str = "max",
-                 calib_percentile: float = 99.9):
+                 calib_percentile: float = 99.9,
+                 act_scales: dict | None = None):
         if model_name == "bisenet":
             self.model = BiSeNet(num_classes=num_classes,
                                  context_path=backbone, dtype=dtype,
@@ -205,11 +212,12 @@ class Predictor:
             if quantize != "int8":
                 raise ValueError(f"unknown quantize mode {quantize!r} "
                                  f"(supported: 'int8')")
-            if calib_frames is None:
+            if calib_frames is None and act_scales is None:
                 raise ValueError(
-                    "quantize='int8' needs calib_frames: a few "
+                    "quantize='int8' needs calib_frames (a few "
                     "representative (N, H, W, 3) uint8 frames to "
-                    "calibrate the static activation scales")
+                    "calibrate the static activation scales) or "
+                    "precomputed act_scales")
             if model_name == "deeplab":
                 from rtsds_tpu.models.deeplab_int8 import (
                     build_quantized, calibrate, fold_deeplab as fold,
@@ -219,29 +227,43 @@ class Predictor:
                     build_quantized, calibrate, fold_bisenet as fold,
                     bisenet_int8_apply as int8_apply)
 
-            calib = np.asarray(calib_frames, dtype=np.uint8)
-            if calib.ndim == 3:
-                calib = calib[None]
-            # chunk the calibration forwards to the serving batch size
-            # (ONE compiled shape; the tail wraps around -- repeated
-            # frames cannot change a max and only marginally reweight a
-            # per-batch percentile) so a many-image calibration set
-            # never compiles or runs a giant one-off batch
-            if calib.shape[0] > batch_size:
-                pad = (-calib.shape[0]) % batch_size
-                if pad:
-                    calib = np.concatenate([calib, calib[:pad]])
-                chunks = [calib[i:i + batch_size]
-                          for i in range(0, calib.shape[0], batch_size)]
-            else:
-                chunks = [calib]
-            calib_batches = (
-                normalize(jnp.asarray(c, jnp.float32),
-                          correct_preprocessing) for c in chunks)
             folded = fold(variables)
-            scales = calibrate(variables, calib_batches, folded=folded,
-                               stat=calib_stat,
-                               percentile=calib_percentile)
+            if act_scales is not None:
+                # a QAT (or otherwise precomputed) grid: validate it
+                # belongs to THIS topology -- a silent key mismatch
+                # would fall every conv back to bf16
+                unknown = sorted(set(act_scales) - set(folded))
+                if unknown or not act_scales:
+                    raise ValueError(
+                        f"act_scales do not match the {model_name} conv "
+                        f"topology ("
+                        + (f"unknown names: {unknown[:5]}" if unknown
+                           else "empty scales dict") + ")")
+                scales = act_scales
+            else:
+                calib = np.asarray(calib_frames, dtype=np.uint8)
+                if calib.ndim == 3:
+                    calib = calib[None]
+                # chunk the calibration forwards to the serving batch
+                # size (ONE compiled shape; the tail wraps around --
+                # repeated frames cannot change a max and only
+                # marginally reweight a per-batch percentile) so a
+                # many-image calibration set never compiles or runs a
+                # giant one-off batch
+                if calib.shape[0] > batch_size:
+                    pad = (-calib.shape[0]) % batch_size
+                    if pad:
+                        calib = np.concatenate([calib, calib[:pad]])
+                    chunks = [calib[i:i + batch_size]
+                              for i in range(0, calib.shape[0], batch_size)]
+                else:
+                    chunks = [calib]
+                calib_batches = (
+                    normalize(jnp.asarray(c, jnp.float32),
+                              correct_preprocessing) for c in chunks)
+                scales = calibrate(variables, calib_batches, folded=folded,
+                                   stat=calib_stat,
+                                   percentile=calib_percentile)
             variables = build_quantized(variables, scales, folded=folded)
 
             def apply_fn(qtree, x, train=False):
@@ -376,7 +398,23 @@ class Predictor:
         ``ema`` item holding the weights the validation mIoU (and so
         best-step selection) was computed on -- serve THOSE by default;
         ``use_ema=False`` opts back into the raw training params.
+
+        A QAT write-back checkpoint (``python -m rtsds_tpu.qat``)
+        carries a ``qat_act_scales.json`` sidecar; with
+        ``quantize='int8'`` those scales are served automatically so the
+        deployed grid is exactly the one the weights were tuned for
+        (pass ``act_scales`` explicitly to override).
         """
+        if kwargs.get("quantize") and "act_scales" not in kwargs:
+            from rtsds_tpu.train.qat import load_act_scales
+
+            sidecar = load_act_scales(checkpoint_dir)
+            if sidecar is not None:
+                scales, meta = sidecar
+                kwargs["act_scales"] = scales
+                print(f"serving the QAT activation scales from "
+                      f"{checkpoint_dir} ({meta.get('calib_stat')} "
+                      f"calibration, {len(scales)} convs)")
         return cls(variables=load_checkpoint_variables(
             checkpoint_dir, use_ema=use_ema), **kwargs)
 

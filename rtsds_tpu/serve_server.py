@@ -388,7 +388,15 @@ def main(argv=None):
             parser.error("--quantize happens at predictor build time; "
                          "the artifact is already a compiled program")
         if not args.calib_images:
-            parser.error("--quantize needs --calib_images")
+            # a QAT write-back checkpoint carries its own scales sidecar
+            has_sidecar = False
+            if args.checkpoint:
+                from rtsds_tpu.train.qat import load_act_scales
+
+                has_sidecar = load_act_scales(args.checkpoint) is not None
+            if not has_sidecar:
+                parser.error("--quantize needs --calib_images (or a QAT "
+                             "checkpoint carrying qat_act_scales.json)")
 
     if args.compilation_cache:
         from rtsds_tpu.utils.compile_cache import enable_compilation_cache
@@ -417,11 +425,12 @@ def main(argv=None):
                       protocol=args.protocol,
                       protocol_kwargs=protocol_kwargs)
         if args.quantize:
-            from rtsds_tpu.data.pipeline import decode_image
-
             kwargs["quantize"] = args.quantize
-            kwargs["calib_frames"] = np.stack(
-                [decode_image(p, size) for p in args.calib_images])
+            if args.calib_images:
+                from rtsds_tpu.data.pipeline import decode_image
+
+                kwargs["calib_frames"] = np.stack(
+                    [decode_image(p, size) for p in args.calib_images])
             kwargs["calib_stat"] = args.calib_stat
             kwargs["calib_percentile"] = args.calib_percentile
         if args.mesh:

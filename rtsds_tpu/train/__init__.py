@@ -10,6 +10,12 @@ from rtsds_tpu.train.distill import (  # noqa: F401
 )
 from rtsds_tpu.train.ema import ema_init, ema_update  # noqa: F401
 from rtsds_tpu.train.optim import make_optimizer  # noqa: F401
+from rtsds_tpu.train.qat import (  # noqa: F401
+    create_qat_state,
+    export_int8,
+    prepare_qat,
+    writeback,
+)
 from rtsds_tpu.train.self_training import (  # noqa: F401
     calibrate_class_thresholds,
     make_self_training_step,

@@ -79,6 +79,12 @@ def test_supervised_step_benchmark_structure():
                                   image_size=(32, 64), steps=1, repeats=1,
                                   dtype=None, distill_teacher="bisenet",
                                   distill_quant="int4")
+    # TRAIN_QAT composes with neither distill nor bn_eval
+    with pytest.raises(ValueError, match="qat composes"):
+        supervised_step_benchmark("bisenet", batch_size=1,
+                                  image_size=(32, 64), steps=1, repeats=1,
+                                  dtype=None, distill_teacher="bisenet",
+                                  qat=True)
 
 
 @pytest.mark.slow
