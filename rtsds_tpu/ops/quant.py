@@ -105,7 +105,8 @@ def conv_bf16(x, kernel, bias, stride=1, padding=0, dilation=1,
 
 
 def calibrate_net(forward, folded, batches, stat: str = "max",
-                  percentile: float = 99.9) -> dict:
+                  percentile: float = 99.9,
+                  _hist_chunk: int = 1 << 22) -> dict:
     """Static per-conv-input activation scales from calibration batches.
 
     ``forward(op, x)`` is the model's topology walk; ``batches`` an
@@ -125,6 +126,11 @@ def calibrate_net(forward, folded, batches, stat: str = "max",
     where ``jnp.quantile``'s sort is memory- and time-prohibitive while
     a bincount scatter-add is one streaming pass.  Bin granularity is
     max/4096 ~ 0.025% of range, far below any mIoU-visible effect.
+    The histogram streams in bounded chunks: materializing a full-size
+    f32 |x| plus an int32 bin-index tensor costs 8 bytes/element of
+    extra peak memory, which would OOM percentile calibration at
+    serving shapes where both ``stat="max"`` calibration and bf16
+    serving fit.
     """
     if stat not in ("max", "percentile"):
         raise ValueError(f"calibration stat {stat!r} is not supported "
@@ -133,17 +139,37 @@ def calibrate_net(forward, folded, batches, stat: str = "max",
         raise ValueError(f"calibration percentile must be in (0, 100], "
                          f"got {percentile}")
     nbins = 4096
+    # 4M elements by default: ~32 MB of f32+int32 scratch per scan step
+    chunk = _hist_chunk
 
     def bound(x):
-        absx = jnp.abs(x).astype(jnp.float32)
-        amax = jnp.max(absx)
+        amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
         if stat == "max":
             return amax
         amax = jnp.maximum(amax, 1e-12)
-        idx = jnp.minimum((absx * (nbins / amax)).astype(jnp.int32),
-                          nbins - 1)
-        hist = jnp.zeros((nbins,), jnp.int32).at[idx.reshape(-1)].add(1)
-        target = jnp.ceil(percentile / 100.0 * absx.size).astype(jnp.int32)
+        flat = x.reshape(-1)
+        # target counts only REAL elements; the pad (+inf) lands in the
+        # LAST bin, so every cumsum value below it — and therefore the
+        # selected bin — is unchanged (target <= flat.size <= the cumsum
+        # over real elements at the last bin).
+        # uint32 counts: tensors past 2^31 elements no longer OOM first
+        # (the chunked pass is what made them fit), so int32 cumsum
+        # headroom would be the next thing to overflow
+        target = jnp.ceil(percentile / 100.0 * flat.size) \
+            .astype(jnp.uint32)
+        pad = (-flat.size) % chunk
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.full((pad,), jnp.inf, flat.dtype)])
+
+        def step(hist, xs):
+            absx = jnp.abs(xs).astype(jnp.float32)
+            idx = jnp.minimum(absx * (nbins / amax),
+                              nbins - 1).astype(jnp.int32)
+            return hist.at[idx].add(jnp.uint32(1)), None
+
+        hist, _ = jax.lax.scan(step, jnp.zeros((nbins,), jnp.uint32),
+                               flat.reshape(-1, chunk))
         k = jnp.argmax(jnp.cumsum(hist) >= target)
         return (k + 1).astype(jnp.float32) * (amax / nbins)
 

