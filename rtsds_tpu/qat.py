@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 
 import numpy as np
 
@@ -103,7 +104,7 @@ def qat_finetune(checkpoint_dir: str, images_dir: str, labels_dir: str,
         if (it + 1) % log_every == 0 or it + 1 == steps:
             last_loss = float(metrics["train_loss"])
             print(f"qat step {it + 1}/{steps} loss {last_loss:.4f}",
-                  flush=True)
+                  file=sys.stderr, flush=True)
 
     wb = writeback(model_name, variables, state.params)
     from rtsds_tpu.callbacks.checkpoint import CheckpointManager
@@ -163,6 +164,8 @@ def main(argv=None):
     ap.add_argument("--ignore_index", type=int, default=19)
     ap.add_argument("--correct_preprocessing", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--log_every", type=int, default=50,
+                    help="print a loss line every N steps (stderr)")
     args = ap.parse_args(argv)
 
     size = tuple(int(v) for v in args.size.split(","))
@@ -173,7 +176,8 @@ def main(argv=None):
         calib_batches=args.calib_batches, calib_stat=args.calib_stat,
         calib_percentile=args.calib_percentile, use_ema=not args.no_ema,
         ignore_index=args.ignore_index,
-        correct_preprocessing=args.correct_preprocessing, seed=args.seed)
+        correct_preprocessing=args.correct_preprocessing, seed=args.seed,
+        log_every=args.log_every)
     print(json.dumps(stats))
 
 
