@@ -87,6 +87,21 @@ def test_supervised_step_benchmark_structure():
                                   qat=True)
 
 
+def test_sliding_bench_structure():
+    """Panorama sliding bench (bf16 vs int8 through the whole blended
+    predict) runs at tiny CPU shapes and reports the window count the
+    25%-overlap default implies."""
+    from rtsds_tpu.bench.sliding_bench import bench_sliding
+
+    stats = bench_sliding(image_size=(64, 128), window=(32, 64), batch=1,
+                          iterations=2, repeats=1, include_int8=False)
+    assert stats["bench"] == "bisenet_sliding_serving"
+    assert stats["windows_per_frame"] == 9
+    assert stats["bf16_fps"] > 0
+    with pytest.raises(ValueError, match="unknown model"):
+        bench_sliding(model_name="nope")
+
+
 @pytest.mark.slow
 def test_da_step_benchmark_v2_variant():
     """bench.py's ``models`` section benches the v2 adversarial recipe
