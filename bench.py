@@ -138,13 +138,14 @@ def main():
 
         # W8A8 int8 DeepLab serving (models/deeplab_int8.py, measured-
         # winning policy: 3x3s + 1x1 expansions) -- the quantized record
-        # is kept driver-reproduced so the claim cannot rot.  b16: int8
+        # is kept driver-reproduced so the claim cannot rot.  b32: int8
         # SHIFTS the bf16 b8-saturation (bf16 is flat at ~164 FPS from
-        # b8 on; int8 keeps scaling -- 223 FPS b16, 232 b32; PERF.md)
+        # b8 on; int8 keeps scaling -- 223 FPS b16, peak 232 b32, 230
+        # b48; PERF.md), so the record batch is the measured peak
         if os.environ.get("BENCH_QUANT", "1") != "0":
             from rtsds_tpu.bench.quant_bench import bench_e2e
 
-            qb = int(os.environ.get("BENCH_QUANT_BATCH", "16"))
+            qb = int(os.environ.get("BENCH_QUANT_BATCH", "32"))
             q = bench_e2e(batch=qb, iterations=2, repeats=2,
                           policy_names=("default",))
             # honest efficiency context for the speedup: the quantized
