@@ -13,7 +13,9 @@ windows sharing one dispatch.
 
 Run (one TPU process): ``python -m rtsds_tpu.bench.sliding_bench``.
 Env: SL_IMAGE ("2048,4096"), SL_WINDOW ("1024,2048"), SL_BATCH (1),
-SL_ITERS (4), SL_REPEATS (2), SL_MODEL (bisenet), SL_INT8 (1).
+SL_ITERS (4), SL_REPEATS (2), SL_MODEL (bisenet), SL_INT8 (1),
+SL_CHUNK (0 = all windows in one batched forward; 1 = the sequential
+per-window schedule, for A/B).
 """
 
 from __future__ import annotations
@@ -29,9 +31,11 @@ from rtsds_tpu.bench.latency import latency_benchmark
 
 def bench_sliding(image_size=(2048, 4096), window=(1024, 2048), batch=1,
                   iterations=4, repeats=2, model_name="bisenet",
-                  include_int8=True):
+                  include_int8=True, window_chunk=None):
     """Time the full sliding predict (windows + softmax blend + argmax,
-    ONE jit program) in bf16 and, optionally, through the int8 path."""
+    ONE jit program) in bf16 and, optionally, through the int8 path.
+    ``window_chunk=1`` reproduces the sequential per-window schedule
+    (the pre-round-5 behavior) for A/B comparison."""
     from rtsds_tpu.eval.sliding import make_sliding_predict
 
     key = jax.random.key(0)
@@ -59,7 +63,8 @@ def bench_sliding(image_size=(2048, 4096), window=(1024, 2048), batch=1,
         return model.apply(variables, x, train=train)
 
     predict_bf16 = make_sliding_predict(bf16_apply, image_size,
-                                        window=window)
+                                        window=window,
+                                        window_chunk=window_chunk)
     bf = latency_benchmark(predict_bf16, (variables, x),
                            iterations=iterations, repeats=repeats,
                            warmup=1, images_per_call=batch, chain_index=1)
@@ -74,6 +79,7 @@ def bench_sliding(image_size=(2048, 4096), window=(1024, 2048), batch=1,
         "window": list(window),
         "windows_per_frame": n_windows,
         "batch": batch,
+        "window_chunk": window_chunk,
         "bf16_ms": round(bf["mean_ms"], 3),
         "bf16_fps": round(bf["fps"], 2),
     }
@@ -86,7 +92,8 @@ def bench_sliding(image_size=(2048, 4096), window=(1024, 2048), batch=1,
             return int8_apply(qtree, x)
 
         predict_int8 = make_sliding_predict(q_apply, image_size,
-                                            window=window)
+                                            window=window,
+                                            window_chunk=window_chunk)
         q8 = latency_benchmark(predict_int8, (qtree, x),
                                iterations=iterations, repeats=repeats,
                                warmup=1, images_per_call=batch,
@@ -111,7 +118,8 @@ def main():
         iterations=int(os.environ.get("SL_ITERS", "4")),
         repeats=int(os.environ.get("SL_REPEATS", "2")),
         model_name=os.environ.get("SL_MODEL", "bisenet"),
-        include_int8=os.environ.get("SL_INT8", "1") != "0")
+        include_int8=os.environ.get("SL_INT8", "1") != "0",
+        window_chunk=int(os.environ.get("SL_CHUNK", "0")) or None)
     print(json.dumps(out))
 
 

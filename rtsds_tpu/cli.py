@@ -279,9 +279,12 @@ def _build_eval_step(config, apply_fn, image_size, num_classes,
         stride = sld.get("stride") or None
         if stride:
             stride = tuple(parse_int_list(stride))
+        chunk = int(sld.get("window_chunk", 0) or 0)
         return make_sliding_eval_step(apply_fn, image_size, num_classes,
                                       window=window, stride=stride,
-                                      return_preds=return_preds)
+                                      return_preds=return_preds,
+                                      window_chunk=chunk if chunk > 0
+                                      else None)
     return None
 
 

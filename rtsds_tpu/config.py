@@ -319,7 +319,11 @@ _DEFAULTS: dict = {
         "ensemble": {"enabled": False, "scales": "0.75, 1.0, 1.25",
                      "flip": True},
         "sliding": {"enabled": False, "window": "512, 1024",
-                    "stride": ""},  # "" = 3/4 window (25% overlap)
+                    "stride": "",  # "" = 3/4 window (25% overlap)
+                    # max windows stacked per forward; 0 = all windows
+                    # in ONE batched forward (the fast default). Lower
+                    # it if eval_batch x windows exceeds HBM.
+                    "window_chunk": 0},
     },
     "augmentation": {
         "p": 0.5,

@@ -30,9 +30,17 @@ def _positions(total: int, window: int, stride: int) -> list[int]:
 def make_sliding_predict(apply_fn: Callable, image_size: tuple[int, int],
                          window: tuple[int, int] = (512, 1024),
                          stride: tuple[int, int] | None = None,
-                         return_probs: bool = False) -> Callable:
+                         return_probs: bool = False,
+                         window_chunk: int | None = None) -> Callable:
     """Build ``predict(variables, images) -> masks`` over NHWC images of
     static ``image_size``, evaluated window-by-window.
+
+    The window tiles are STACKED along the batch axis and run through
+    ``apply_fn`` in one forward (per chunk): a 9-window panorama is one
+    b9 conv program, not 9 sequential b1 forwards.  On TPU the conv
+    throughput scales strongly with batch (PERF.md: BiSeNet b1 is 8.5
+    ms/frame vs 3.1 ms/image at b64), so batching the windows is where
+    the protocol's speed comes from.
 
     Args:
       apply_fn: ``apply_fn(variables, images, train=False) -> logits``
@@ -41,6 +49,11 @@ def make_sliding_predict(apply_fn: Callable, image_size: tuple[int, int],
       stride: window step; default 3/4 of the window (25% overlap).
         Overlapping probabilities are averaged, which suppresses
         window-border artifacts.
+      window_chunk: max windows per stacked forward (each forward sees
+        ``window_chunk * N`` tiles).  Default: all windows in one
+        forward.  Lower it if the stacked activations exceed HBM (e.g.
+        many-window panoramas at large eval batch); ``1`` reproduces
+        the sequential per-window schedule.
     """
     h, w = image_size
     wh, ww = min(window[0], h), min(window[1], w)
@@ -54,23 +67,33 @@ def make_sliding_predict(apply_fn: Callable, image_size: tuple[int, int],
             f"pixels would divide 0/0")
     ys = _positions(h, wh, stride[0])
     xs = _positions(w, ww, stride[1])
+    tiles_yx = [(y, x) for y in ys for x in xs]
+    if window_chunk is None:
+        window_chunk = len(tiles_yx)
+    if window_chunk < 1:
+        raise ValueError(f"window_chunk {window_chunk} must be >= 1")
 
     def predict(variables, images):
         n = images.shape[0]
+        c = images.shape[-1]
         acc = None
         count = jnp.zeros((1, h, w, 1), jnp.float32)
-        for y in ys:
-            for x in xs:
-                tile = jax.lax.slice(
-                    images, (0, y, x, 0),
-                    (n, y + wh, x + ww, images.shape[-1]))
-                logits = apply_fn(variables, tile, train=False)
-                p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        for start in range(0, len(tiles_yx), window_chunk):
+            group = tiles_yx[start:start + window_chunk]
+            tiles = jnp.concatenate(
+                [jax.lax.slice(images, (0, y, x, 0), (n, y + wh, x + ww, c))
+                 for (y, x) in group], axis=0)
+            logits = apply_fn(variables, tiles, train=False)
+            p_all = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            k = p_all.shape[-1]
+            for i, (y, x) in enumerate(group):
+                p = jax.lax.slice(p_all, (i * n, 0, 0, 0),
+                                  ((i + 1) * n, wh, ww, k))
                 if acc is None:
-                    acc = jnp.zeros((n, h, w, p.shape[-1]), jnp.float32)
+                    acc = jnp.zeros((n, h, w, k), jnp.float32)
                 acc = jax.lax.dynamic_update_slice(
                     acc, jax.lax.dynamic_slice(
-                        acc, (0, y, x, 0), (n, wh, ww, p.shape[-1])) + p,
+                        acc, (0, y, x, 0), (n, wh, ww, k)) + p,
                     (0, y, x, 0))
                 count = jax.lax.dynamic_update_slice(
                     count, jax.lax.dynamic_slice(
@@ -89,7 +112,8 @@ def make_sliding_eval_step(apply_fn: Callable, image_size: tuple[int, int],
                            window: tuple[int, int] = (512, 1024),
                            stride: tuple[int, int] | None = None,
                            use_pallas: bool | None = None,
-                           return_preds: bool = False) -> Callable:
+                           return_preds: bool = False,
+                           window_chunk: int | None = None) -> Callable:
     """Sliding-window analog of ``make_eval_step``:
     ``eval_step(variables, images, labels, hist) -> hist`` (or
     ``(hist, preds)`` with ``return_preds``, for image-plot callbacks),
@@ -108,7 +132,8 @@ def make_sliding_eval_step(apply_fn: Callable, image_size: tuple[int, int],
             return fast_hist_pallas(labels, preds, num_classes)
         return fast_hist(labels, preds, num_classes)
 
-    predict = make_sliding_predict(apply_fn, image_size, window, stride)
+    predict = make_sliding_predict(apply_fn, image_size, window, stride,
+                                   window_chunk=window_chunk)
 
     @jax.jit
     def eval_step(variables, images, labels, hist):

@@ -99,7 +99,8 @@ def batched_mask_predict(call, frames: np.ndarray,
 
 def protocol_kwargs_from_flags(protocol: str, scales: str = "0.75, 1.0, 1.25",
                                window: str = "512, 1024",
-                               stride: str = "") -> dict:
+                               stride: str = "",
+                               window_chunk: int = 0) -> dict:
     """CLI flag strings -> :class:`Predictor` ``protocol_kwargs`` (shared
     by the serve CLI and the HTTP server so the parsing exists once)."""
     from rtsds_tpu.config import parse_float_list, parse_int_list
@@ -110,6 +111,8 @@ def protocol_kwargs_from_flags(protocol: str, scales: str = "0.75, 1.0, 1.25",
         kwargs = {"window": tuple(parse_int_list(window))}
         if stride:
             kwargs["stride"] = tuple(parse_int_list(stride))
+        if window_chunk > 0:
+            kwargs["window_chunk"] = window_chunk
         return kwargs
     return {}
 
@@ -493,6 +496,11 @@ def main(argv=None):
                         help='sliding window "H, W"')
     parser.add_argument("--stride", type=str, default="",
                         help='sliding stride "H, W" (default 3/4 window)')
+    parser.add_argument("--window_chunk", type=int, default=0,
+                        help="max sliding windows stacked per forward; "
+                             "0 = all windows in one batched forward "
+                             "(fastest). Lower it if batch x windows "
+                             "exceeds device memory")
     parser.add_argument("--export", type=str, default=None, metavar="PATH",
                         help="write a self-contained AOT serving artifact "
                              "(StableHLO + weights; see serve_export.py) "
@@ -569,7 +577,8 @@ def main(argv=None):
     else:
         frames = decode_frames(size)
         protocol_kwargs = protocol_kwargs_from_flags(
-            args.protocol, args.scales, args.window, args.stride)
+            args.protocol, args.scales, args.window, args.stride,
+            args.window_chunk)
         kwargs = dict(model_name=args.model, image_size=size,
                       batch_size=min(max(len(args.images), 1), 8),
                       num_classes=args.num_classes, backbone=args.backbone,

@@ -360,6 +360,9 @@ def main(argv=None):
                         help='sliding window "H, W"')
     parser.add_argument("--stride", default="",
                         help='sliding stride "H, W" (default 3/4 window)')
+    parser.add_argument("--window_chunk", type=int, default=0,
+                        help="max sliding windows stacked per forward; "
+                             "0 = all in one batched forward")
     parser.add_argument("--mesh", default=None, choices=["batch", "spatial"],
                         help="serve across ALL visible chips: 'batch' "
                              "shards each micro-batch over chips "
@@ -428,7 +431,8 @@ def main(argv=None):
         from rtsds_tpu.serve import protocol_kwargs_from_flags
 
         protocol_kwargs = protocol_kwargs_from_flags(
-            args.protocol, args.scales, args.window, args.stride)
+            args.protocol, args.scales, args.window, args.stride,
+            args.window_chunk)
         kwargs = dict(model_name=args.model, image_size=size,
                       batch_size=args.batch, backbone=args.backbone,
                       protocol=args.protocol,

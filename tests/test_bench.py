@@ -102,6 +102,17 @@ def test_sliding_bench_structure():
         bench_sliding(model_name="nope")
 
 
+def test_ensemble_bench_structure():
+    from rtsds_tpu.bench.ensemble_bench import bench_ensemble
+
+    stats = bench_ensemble(image_size=(64, 128), scales=(1.0,), batch=1,
+                           iterations=2, repeats=1, include_int8=False)
+    assert stats["bench"] == "bisenet_ensemble_serving"
+    assert stats["bf16_fps"] > 0
+    with pytest.raises(ValueError, match="unknown model"):
+        bench_ensemble(model_name="nope")
+
+
 @pytest.mark.slow
 def test_da_step_benchmark_v2_variant():
     """bench.py's ``models`` section benches the v2 adversarial recipe

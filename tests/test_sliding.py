@@ -78,6 +78,29 @@ def test_overlapping_windows_match_pointwise_model(setup):
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-5)
 
 
+def test_window_chunk_schedules_agree(setup):
+    """The batched-window forward (default), a 2-window chunking, and the
+    sequential per-window schedule (chunk=1) are the same computation --
+    identical probabilities regardless of how tiles are grouped into
+    forwards."""
+    from rtsds_tpu.eval.sliding import make_sliding_predict
+
+    model, variables, x = setup
+    probs = {}
+    for chunk in (None, 2, 1):
+        fn = jax.jit(make_sliding_predict(model.apply, (48, 80),
+                                          window=(32, 48), stride=(16, 32),
+                                          return_probs=True,
+                                          window_chunk=chunk))
+        probs[chunk] = np.asarray(fn(variables, x))
+    np.testing.assert_allclose(probs[None], probs[1], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(probs[None], probs[2], rtol=1e-6, atol=1e-6)
+
+    with pytest.raises(ValueError, match="window_chunk"):
+        make_sliding_predict(model.apply, (48, 80), window=(32, 48),
+                             window_chunk=0)
+
+
 @pytest.mark.slow
 def test_sliding_on_real_bisenet():
     from rtsds_tpu.eval.sliding import make_sliding_predict
