@@ -134,3 +134,19 @@ def test_predictor_rejects_classes_beyond_uint8_wire():
 
     with pytest.raises(ValueError, match="uint8"):
         Predictor(image_size=(32, 64), batch_size=1, num_classes=300)
+
+
+def test_protocol_kwargs_from_flags_window_chunk():
+    """The shared CLI flag parser forwards --window_chunk to the sliding
+    protocol only when set (>0), and never leaks it into other
+    protocols."""
+    from rtsds_tpu.serve import protocol_kwargs_from_flags
+
+    kw = protocol_kwargs_from_flags("sliding", window="64, 128",
+                                    stride="32, 64", window_chunk=4)
+    assert kw == {"window": (64, 128), "stride": (32, 64),
+                  "window_chunk": 4}
+    assert "window_chunk" not in protocol_kwargs_from_flags(
+        "sliding", window="64, 128")
+    assert protocol_kwargs_from_flags("ensemble", scales="1.0",
+                                      window_chunk=4) == {"scales": (1.0,)}
