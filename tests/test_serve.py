@@ -150,3 +150,27 @@ def test_protocol_kwargs_from_flags_window_chunk():
         "sliding", window="64, 128")
     assert protocol_kwargs_from_flags("ensemble", scales="1.0",
                                       window_chunk=4) == {"scales": (1.0,)}
+
+
+def test_predictor_sliding_composes_with_mesh(rng):
+    """Sliding protocol (batched-window schedule) x mesh sharding: the
+    batch-sharded predictor is exact vs single device; spatial agrees up
+    to halo-boundary argmax ties (same bar as the plain spatial test)."""
+    import jax
+
+    from rtsds_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() >= 8
+    frames = rng.integers(0, 255, size=(8, 64, 64, 3)).astype(np.uint8)
+    kw = dict(image_size=(64, 64), batch_size=8, dtype=np.float32,
+              protocol="sliding",
+              protocol_kwargs={"window": (32, 32), "stride": (16, 16)})
+    ref = Predictor(**kw).predict(frames)
+
+    mesh = make_mesh()
+    p_batch = Predictor(**kw, mesh=mesh, sharding="batch")
+    np.testing.assert_array_equal(p_batch.predict(frames), ref)
+
+    p_sp = Predictor(**kw, mesh=mesh, sharding="spatial")
+    agree = (p_sp.predict(frames) == ref).mean()
+    assert agree > 0.999, f"spatial x sliding masks diverge: {agree:.4f}"
